@@ -1,0 +1,152 @@
+"""Synthetic fixture dataset generator.
+
+The reference has no test suite (SURVEY.md §4); its only harness is the
+``--debug`` one-batch mode. This module manufactures a miniature on-disk
+dataset with the exact layout the real pipeline reads (path template of
+``dataloader.py:72-73``, metadata CSV schemas of the Kaggle release) so the
+framework is testable end-to-end without the 45GB Kaggle download.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from rxtpu.data.records import NEG_CONTROL_WELL, image_path
+
+_WELL_ROWS = "BCDEFGH"
+
+
+def _well_name(i: int) -> str:
+    return f"{_WELL_ROWS[1 + i // 12]}{3 + (i % 12):02d}"  # skip row B col 02 (controls)
+
+
+def make_synthetic_dataset(
+    root: str,
+    experiments: Sequence[str] = ("HUVEC-01", "U2OS-01"),
+    plates: Sequence[int] = (1, 2),
+    wells_per_plate: int = 3,
+    pos_controls_per_plate: int = 2,
+    nb_classes: int = 8,
+    img_size: int = 64,
+    seed: int = 0,
+    splits: Sequence[str] = ("train", "test"),
+    ext: str = "jpeg",
+) -> dict:
+    """Write a miniature dataset under ``root``.
+
+    Layout: ``{root}/{split}/{exp}/Plate{p}/{well}_s{site}_w{ch}.{ext}`` plus
+    ``{root}/metadata/{train,test}.csv`` and ``..._controls.csv``.
+
+    Each (split, experiment) gets ``wells_per_plate`` sample wells per plate
+    with sirna labels cycling through ``nb_classes`` classes, one negative
+    control at B02 and ``pos_controls_per_plate`` positive-control wells.
+
+    Returns a manifest dict with the written dataframes.
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+
+    def write_image(path: str, sirna: int, channel: int):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # Deterministic-ish content keyed by label+channel so stats differ
+        # per experiment/channel and models have signal to fit.
+        base = (sirna * 23 + channel * 11) % 180
+        img = rng.integers(0, 60, size=(img_size, img_size), dtype=np.uint8) + base
+        if ext == "jpeg":
+            cv2.imwrite(path, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+        else:
+            cv2.imwrite(path, img)
+
+    manifest = {}
+    sirna_counter = 0
+    for split in splits:
+        rows, ctrl_rows = [], []
+        for exp in experiments:
+            for plate in plates:
+                # sample wells
+                for w in range(wells_per_plate):
+                    well = _well_name(w)
+                    sirna = sirna_counter % nb_classes
+                    sirna_counter += 1
+                    id_code = f"{exp}_{plate}_{well}"
+                    row = dict(id_code=id_code, experiment=exp, plate=plate, well=well)
+                    if split == "train":
+                        row["sirna"] = sirna
+                    rows.append(row)
+                    for site in (1, 2):
+                        for ch in range(1, 7):
+                            write_image(
+                                image_path(root, split, exp, plate, well, site, ch, ext),
+                                sirna, ch,
+                            )
+                # negative control at B02 (dataloader.py:29-31)
+                ctrl_rows.append(
+                    dict(
+                        id_code=f"{exp}_{plate}_{NEG_CONTROL_WELL}",
+                        experiment=exp, plate=plate, well=NEG_CONTROL_WELL,
+                        sirna=1138, well_type="negative_control",
+                    )
+                )
+                for site in (1, 2):
+                    for ch in range(1, 7):
+                        write_image(
+                            image_path(root, split, exp, plate, NEG_CONTROL_WELL, site, ch, ext),
+                            0, ch,
+                        )
+                # positive controls
+                for p in range(pos_controls_per_plate):
+                    well = f"B{20 + p:02d}"
+                    ctrl_rows.append(
+                        dict(
+                            id_code=f"{exp}_{plate}_{well}",
+                            experiment=exp, plate=plate, well=well,
+                            sirna=1108 + p, well_type="positive_control",
+                        )
+                    )
+                    for site in (1, 2):
+                        for ch in range(1, 7):
+                            write_image(
+                                image_path(root, split, exp, plate, well, site, ch, ext),
+                                p + 1, ch,
+                            )
+        df = pd.DataFrame(rows)
+        df_controls = pd.DataFrame(ctrl_rows)
+        df.to_csv(os.path.join(root, "metadata", f"{split}.csv"), index=False)
+        df_controls.to_csv(
+            os.path.join(root, "metadata", f"{split}_controls.csv"), index=False
+        )
+        manifest[split] = df
+        manifest[f"{split}_controls"] = df_controls
+    return manifest
+
+
+def make_plate_balanced_train_df(
+    nb_classes: int,
+    experiments: Sequence[str] = ("HUVEC-01",),
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Metadata-only frame where each sirna appears on exactly 3 of plates 1-4.
+
+    Used to test the plate-group builder (main.py:157-167) without images.
+    """
+    rng = np.random.default_rng(seed)
+    rows = []
+    for sirna in range(nb_classes):
+        missing = rng.integers(1, 5)
+        plates = [p for p in (1, 2, 3, 4) if p != missing]
+        for exp in experiments:
+            for plate in plates:
+                rows.append(
+                    dict(
+                        id_code=f"{exp}_{plate}_X{sirna:04d}",
+                        experiment=exp, plate=plate,
+                        well=f"X{sirna:04d}", sirna=sirna,
+                    )
+                )
+    return pd.DataFrame(rows)
