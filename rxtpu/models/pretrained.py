@@ -1,0 +1,141 @@
+"""Pretrained-weight capability: 6-channel stem init + torch checkpoint porting.
+
+The reference builds its stem from torchvision's pretrained resnet50
+(``cell_classifier/models.py:16-27``): a new 6-in-channel 7x7 conv whose
+kernel is the *mean over RGB* of the pretrained conv1 kernel, replicated
+across all 6 input channels. This module reproduces that rule exactly and
+adds an offline porting path: given a torch resnet50 ``state_dict`` file
+(no torchvision / network needed at runtime), map it onto the Flax
+parameter tree of ``rxtpu.models.resnet.resnet50``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def stem_kernel_from_rgb(kernel_rgb_hwio: np.ndarray, nb_channels: int = 6) -> np.ndarray:
+    """models.py:24-26: stem = mean-over-RGB of conv1, tiled across channels.
+
+    Args:
+      kernel_rgb_hwio: [7, 7, 3, 64] HWIO conv kernel.
+    Returns:
+      [7, 7, nb_channels, 64] kernel, each input channel = mean over RGB.
+    """
+    mean = kernel_rgb_hwio.mean(axis=2, keepdims=True)  # [7,7,1,64]
+    return np.broadcast_to(mean, mean.shape[:2] + (nb_channels,) + mean.shape[3:]).copy()
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch ``state_dict`` file into numpy arrays (CPU, offline)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: v.detach().numpy() for k, v in sd.items() if hasattr(v, "detach")}
+
+
+def _conv_oihw_to_hwio(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+_RESNET50_STAGES = [3, 4, 6, 3]
+
+
+def port_torch_resnet50(
+    sd: Dict[str, np.ndarray],
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    backbone_scope: str = "backbone",
+    nb_channels: int = 6,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Copy torch resnet50 weights into the Flax trees (in place on copies).
+
+    Key mapping (torch -> flax under ``params[backbone_scope]``):
+      conv1              -> conv_init            (stem: 6-ch rule applied)
+      bn1                -> bn_init
+      layer{L}.{B}.convN -> stage{L}_block{B+1}.Conv_{N-1}
+      layer{L}.{B}.bnN   -> stage{L}_block{B+1}.BatchNorm_{N-1}
+      layer{L}.{B}.downsample.0/1 -> conv_proj / norm_proj
+    """
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+    p = params[backbone_scope]
+    bs = batch_stats[backbone_scope]
+
+    def set_conv(dst: Dict[str, Any], torch_key: str):
+        dst["kernel"] = _conv_oihw_to_hwio(sd[torch_key]).astype(dst["kernel"].dtype)
+
+    def set_bn(dst_p: Dict[str, Any], dst_s: Dict[str, Any], torch_prefix: str):
+        dst_p["scale"] = sd[f"{torch_prefix}.weight"].astype(dst_p["scale"].dtype)
+        dst_p["bias"] = sd[f"{torch_prefix}.bias"].astype(dst_p["bias"].dtype)
+        dst_s["mean"] = sd[f"{torch_prefix}.running_mean"].astype(dst_s["mean"].dtype)
+        dst_s["var"] = sd[f"{torch_prefix}.running_var"].astype(dst_s["var"].dtype)
+
+    # Stem: 6-channel replication rule.
+    rgb = _conv_oihw_to_hwio(sd["conv1.weight"])
+    p["conv_init"]["kernel"] = stem_kernel_from_rgb(rgb, nb_channels).astype(
+        p["conv_init"]["kernel"].dtype
+    )
+    set_bn(p["bn_init"], bs["bn_init"], "bn1")
+
+    for li, n_blocks in enumerate(_RESNET50_STAGES):
+        for bi in range(n_blocks):
+            scope = f"stage{li+1}_block{bi+1}"
+            tp = f"layer{li+1}.{bi}"
+            for ci in range(3):
+                set_conv(p[scope][f"Conv_{ci}"], f"{tp}.conv{ci+1}.weight")
+                set_bn(
+                    p[scope][f"BatchNorm_{ci}"], bs[scope][f"BatchNorm_{ci}"],
+                    f"{tp}.bn{ci+1}",
+                )
+            if f"{tp}.downsample.0.weight" in sd:
+                set_conv(p[scope]["conv_proj"], f"{tp}.downsample.0.weight")
+                set_bn(p[scope]["norm_proj"], bs[scope]["norm_proj"], f"{tp}.downsample.1")
+
+    params[backbone_scope] = p
+    batch_stats[backbone_scope] = bs
+    to_jnp = lambda t: jax.tree_util.tree_map(np.asarray, t)  # noqa: E731
+    return to_jnp(params), to_jnp(batch_stats)
+
+
+def synthetic_resnet50_state_dict(seed: int = 0) -> Dict[str, np.ndarray]:
+    """Generate a random torch-format resnet50 state_dict (for tests/fixtures)."""
+    rng = np.random.default_rng(seed)
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv(key, o, i, k):
+        sd[key] = rng.normal(0, 0.05, size=(o, i, k, k)).astype(np.float32)
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = rng.normal(1, 0.02, size=(c,)).astype(np.float32)
+        sd[f"{prefix}.bias"] = rng.normal(0, 0.02, size=(c,)).astype(np.float32)
+        sd[f"{prefix}.running_mean"] = rng.normal(0, 0.02, size=(c,)).astype(np.float32)
+        sd[f"{prefix}.running_var"] = np.abs(rng.normal(1, 0.02, size=(c,))).astype(np.float32)
+
+    conv("conv1.weight", 64, 3, 7)
+    bn("bn1", 64)
+    in_ch = 64
+    for li, n_blocks in enumerate(_RESNET50_STAGES):
+        width = 64 * 2**li
+        out_ch = width * 4
+        for bi in range(n_blocks):
+            tp = f"layer{li+1}.{bi}"
+            conv(f"{tp}.conv1.weight", width, in_ch, 1)
+            bn(f"{tp}.bn1", width)
+            conv(f"{tp}.conv2.weight", width, width, 3)
+            bn(f"{tp}.bn2", width)
+            conv(f"{tp}.conv3.weight", out_ch, width, 1)
+            bn(f"{tp}.bn3", out_ch)
+            if bi == 0:
+                conv(f"{tp}.downsample.0.weight", out_ch, in_ch, 1)
+                bn(f"{tp}.downsample.1", out_ch)
+            in_ch = out_ch
+    sd["fc.weight"] = rng.normal(0, 0.02, size=(1000, 2048)).astype(np.float32)
+    sd["fc.bias"] = np.zeros(1000, dtype=np.float32)
+    return sd

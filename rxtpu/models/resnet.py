@@ -1,0 +1,163 @@
+"""Flax ResNet backbones with a 6-channel microscopy stem.
+
+TPU-first reimplementation of the reference backbone
+(``cell_classifier/models.py:16-29``: torchvision resnet50, conv1 swapped
+for a 6-in-channel 7x7 stride-2 conv, fc removed). Design choices:
+
+- NHWC layout end to end (XLA's native conv layout on TPU; channels-last
+  keeps the lane dimension dense for the MXU).
+- bfloat16 compute / float32 params and BatchNorm statistics.
+- BatchNorm semantics match torch defaults (eps 1e-5, running-stat
+  momentum 0.1 => flax ``momentum=0.9``); batch statistics are computed
+  over the per-shard batch exactly like ``nn.DataParallel`` replicas
+  (SURVEY.md §7 "BatchNorm under data parallelism") unless ``bn_axis_name``
+  requests a cross-replica mean.
+
+The 6-channel stem initialization rule of ``models.py:24-26`` (replicate the
+mean-over-RGB of a pretrained conv1 kernel across all 6 input channels) is
+implemented in ``rxtpu.models.pretrained.stem_kernel_from_rgb``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+ModuleDef = Any
+
+
+class ResNetBlock(nn.Module):
+    """Basic 3x3+3x3 residual block (resnet18/34)."""
+
+    filters: int
+    conv: ModuleDef
+    norm: ModuleDef
+    strides: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (3, 3), self.strides)(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3))(y)
+        y = self.norm(scale_init=nn.initializers.zeros)(y)
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters, (1, 1), self.strides, name="conv_proj")(residual)
+            residual = self.norm(name="norm_proj")(residual)
+        return nn.relu(residual + y)
+
+
+class BottleneckBlock(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck block (resnet50/101/152)."""
+
+    filters: int
+    conv: ModuleDef
+    norm: ModuleDef
+    strides: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (1, 1))(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), self.strides)(y)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters * 4, (1, 1))(y)
+        y = self.norm(scale_init=nn.initializers.zeros)(y)
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters * 4, (1, 1), self.strides, name="conv_proj")(residual)
+            residual = self.norm(name="norm_proj")(residual)
+        return nn.relu(residual + y)
+
+
+class ResNet(nn.Module):
+    """Feature extractor: stem + 4 stages + global average pool.
+
+    Returns [N, num_features] embeddings (the reference removes ``fc`` via
+    ``nn.Identity()``, models.py:29 — here there is simply no head).
+    """
+
+    stage_sizes: Sequence[int]
+    block_cls: ModuleDef
+    num_filters: int = 64
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None  # None = per-replica stats (DataParallel parity)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = functools.partial(
+            nn.Conv,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+        )
+        norm = functools.partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            axis_name=self.bn_axis_name if train else None,
+        )
+
+        x = x.astype(self.dtype)
+        # 6-channel stem: 7x7/2 conv (models.py:18-27), then 3x3/2 maxpool.
+        x = conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv_init")(x)
+        x = norm(name="bn_init")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, block_size in enumerate(self.stage_sizes):
+            for j in range(block_size):
+                strides = (2, 2) if i > 0 and j == 0 else (1, 1)
+                x = self.block_cls(
+                    self.num_filters * 2**i,
+                    strides=strides,
+                    conv=conv,
+                    norm=norm,
+                    name=f"stage{i+1}_block{j+1}",
+                )(x)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool -> [N, F]
+        return x.astype(self.dtype)
+
+
+def resnet18(**kw) -> ResNet:
+    return ResNet(stage_sizes=[2, 2, 2, 2], block_cls=ResNetBlock, **kw)
+
+
+def resnet34(**kw) -> ResNet:
+    return ResNet(stage_sizes=[3, 4, 6, 3], block_cls=ResNetBlock, **kw)
+
+
+def resnet50(**kw) -> ResNet:
+    return ResNet(stage_sizes=[3, 4, 6, 3], block_cls=BottleneckBlock, **kw)
+
+
+BACKBONE_FEATURES = {
+    "resnet18": 512,
+    "resnet34": 512,
+    "resnet50": 2048,
+    "densenet121": 1024,
+}
+
+
+def make_backbone(arch: str, **kw):
+    if arch == "resnet18":
+        return resnet18(**kw)
+    if arch == "resnet34":
+        return resnet34(**kw)
+    if arch == "resnet50":
+        return resnet50(**kw)
+    if arch == "densenet121":
+        from rxtpu.models.densenet import densenet121
+
+        return densenet121(**kw)
+    raise ValueError(f"unknown backbone {arch!r}")
