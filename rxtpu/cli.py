@@ -1,0 +1,303 @@
+"""Driver CLI — preserves the reference surface of ``python main.py``.
+
+Flags ``--debug``, ``--experiment_id``, ``--lr`` behave as in
+``main.py:26-31``; the full flow is main.py's:
+
+1. hyperparameters with debug/local shrinking (main.py:41-54)
+2. per-experiment stats artifact (main.py:83-84; auto-computed here if
+   missing instead of crashing)
+3. model + optimizer; training SKIPPED if the best checkpoint exists
+   (main.py:96-97)
+4. stratified (or experiment-wise) split, optional nb_examples cap,
+   training with val-best checkpointing (main.py:100-142)
+5. test phase: DummyClassifier when local (main.py:144-145), plate-group
+   construction (main.py:157-167), per-experiment constrained assignment
+   (main.py:174-196), ``submission_{experiment_id}.csv`` (main.py:198-201)
+
+Extra flags expose framework capabilities (backbone/head choice, TTA,
+assignment method, mesh shape) without changing the defaults' semantics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+# Reference main.py:168: hand-derived plate-group permutation per test
+# experiment of the Kaggle release (18 experiments).
+REFERENCE_EXPERIMENT_TYPES = [3, 1, 0, 0, 0, 0, 2, 2, 3, 0, 0, 3, 1, 0, 0, 0, 2, 3]
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="rxtpu driver")
+    # reference surface (main.py:26-31)
+    p.add_argument("--debug", default=False, action="store_true")
+    p.add_argument("--experiment_id")
+    p.add_argument("--lr", type=float)
+    # framework extensions
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--stats", default=None, help="stats artifact (.json or .pickle)")
+    p.add_argument("--image-ext", default="jpeg", choices=["jpeg", "png"])
+    p.add_argument("--backbone", default=None, help="resnet18|resnet50|densenet121")
+    p.add_argument("--head", default="mlp", choices=["mlp", "arcface"])
+    p.add_argument("--pretrained-path", default=None, help="torch resnet50 state_dict")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None, help="per-device batch size")
+    p.add_argument("--crop-size", type=int, default=None)
+    p.add_argument("--tta", default="none", choices=["none", "flips"])
+    p.add_argument("--assign-method", default="greedy",
+                   choices=["greedy", "greedy_jax", "hungarian", "argmax"])
+    p.add_argument("--no-plate-leak", action="store_true")
+    p.add_argument("--experiment-types", default=None,
+                   help="comma list of plate-group types per test experiment")
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--nb-classes", type=int, default=None,
+                   help="override the 1108 Kaggle classes (synthetic datasets)")
+    p.add_argument("--out-dir", default=".")
+    return p
+
+
+def resolve_config(args) -> "Config":
+    from rxtpu.config import Config, DataConfig, ModelConfig, TrainConfig, debug_overrides
+    import jax
+
+    cfg = Config(
+        data=DataConfig(path_data=args.data_dir, image_ext=args.image_ext),
+        model=ModelConfig(head=args.head, pretrained_path=args.pretrained_path),
+        train=TrainConfig(),
+        experiment_id=args.experiment_id,
+    )
+    local = args.debug and jax.default_backend() == "cpu"  # main.py:41
+    if args.debug:
+        cfg = debug_overrides(cfg, local)
+    if args.backbone:
+        cfg.model.backbone = args.backbone
+    elif local:
+        cfg.model.backbone = "resnet18"  # CPU-runnable slice (BASELINE config 1)
+    if args.epochs is not None:
+        cfg.train.nb_epochs = args.epochs
+    if args.batch_size is not None:
+        cfg.train.bs_per_device = args.batch_size
+        cfg.train.nb_examples = cfg.train.bs_per_device if args.debug else None
+    if args.crop_size is not None:
+        cfg.data.crop_size = args.crop_size
+    elif local:
+        cfg.data.crop_size = 48
+    if args.lr is not None:
+        cfg.train.lr = args.lr
+    if args.nb_classes is not None:
+        cfg.model.nb_classes = args.nb_classes
+    if args.stats is not None:
+        cfg.data.stats_path = args.stats
+    else:
+        for cand in ("stats_experiments.json", "stats_experiments.pickle"):
+            if os.path.exists(cand):
+                cfg.data.stats_path = cand
+                break
+    return cfg
+
+
+def _load_or_compute_stats(cfg):
+    from rxtpu.data.stats import load_stats
+
+    if os.path.exists(cfg.data.stats_path):
+        return load_stats(cfg.data.stats_path)
+    print(f"stats artifact {cfg.data.stats_path} missing; computing...")
+    from rxtpu.tools import run_stats
+
+    out = cfg.data.stats_path if cfg.data.stats_path.endswith(".json") \
+        else "stats_experiments.json"
+    return run_stats(cfg.data.path_data, out, ext=cfg.data.image_ext)
+
+
+def _probe_src_size(cfg, index) -> int:
+    from rxtpu.data.records import image_path
+    import cv2
+
+    r = index.records[0]
+    p = image_path(cfg.data.path_data, index.split, r.experiment, r.plate,
+                   r.well, 1, 1, cfg.data.image_ext)
+    img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+    return img.shape[0]
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_argparser().parse_args(argv)
+    cfg = resolve_config(args)
+
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from rxtpu.config import global_batch_size
+    from rxtpu.data.pipeline import ByteStore, Pipeline
+    from rxtpu.data.records import (
+        build_plate_groups, get_celltype, load_metadata, read_metadata_csvs,
+        split_by_experiment, stratified_split,
+    )
+    from rxtpu.infer import constrained_predict, predict_dataset, write_submission
+    from rxtpu.infer.plate_leak import rescale
+    from rxtpu.models import DummyClassifier
+    from rxtpu.parallel import make_mesh, make_put, place_state
+    from rxtpu.train import (
+        build_model, checkpoint_exists, create_train_state, load_checkpoint,
+        run_training,
+    )
+
+    n_devices = jax.device_count()
+    local = cfg.local
+    mesh = make_mesh(model_parallel=args.model_parallel)
+    put = make_put(mesh)
+    global_bs = global_batch_size(cfg, n_devices)  # main.py:67
+    decoder_threads = 0 if local else 4 * n_devices  # main.py:61-64 spirit
+    print(f"Devices: {n_devices} ({jax.default_backend()}), global batch {global_bs}")
+
+    stats = _load_or_compute_stats(cfg)
+    model = build_model(cfg)
+
+    ckpt_path = cfg.checkpoint_path
+    if not checkpoint_exists(ckpt_path):
+        print("########## TRAINING ##########")
+        df, df_controls = read_metadata_csvs(cfg.data.path_metadata, "train")
+        df["celltype"] = df["experiment"].apply(get_celltype)
+        if cfg.train.train_split_by_experiment:
+            df_train, df_val = split_by_experiment(df, random_state=cfg.train.split_seed)
+        else:
+            if local:
+                df_train, df_val = stratified_split(
+                    df, cfg.train.val_fraction, cfg.train.split_seed, stratify_by_sirna=False
+                )
+            else:
+                print("Stratify train/val split by sirna...")
+                df_train, df_val = stratified_split(
+                    df, cfg.train.val_fraction, cfg.train.split_seed
+                )
+        if cfg.train.nb_examples is not None:  # main.py:115-117
+            df_train = df_train[: cfg.train.nb_examples]
+            df_val = df_val[: cfg.train.nb_examples]
+        print(f"Size training dataset: {len(df_train)}")
+        print(f"Size validation dataset: {len(df_val)}")
+
+        idx_train = load_metadata(df_train, df_controls, "train")
+        idx_val = load_metadata(df_val, df_controls, "train")
+        src_size = _probe_src_size(cfg, idx_train)
+        cfg.data.src_size = src_size
+        store = ByteStore(
+            idx_train, cfg.data.path_data, cfg.data.image_ext,
+            preload=cfg.data.cache_bytes_in_ram, verbose=not args.debug,
+        )
+        store_val = ByteStore(
+            idx_val, cfg.data.path_data, cfg.data.image_ext,
+            preload=cfg.data.cache_bytes_in_ram,
+        )
+        pipe_train = Pipeline(
+            idx_train, store, stats, global_bs, "train", src_size,
+            seed=cfg.train.seed, decoder_threads=decoder_threads,
+            prefetch_depth=cfg.data.prefetch_depth,
+        )
+        pipe_val = Pipeline(
+            idx_val, store_val, stats, global_bs, "val", src_size,
+            seed=cfg.train.seed, decoder_threads=decoder_threads,
+            drop_last=False, shuffle=False,
+        )
+        state, lr = create_train_state(
+            cfg, model, steps_per_epoch=max(1, len(pipe_train)), n_devices=n_devices
+        )
+        state = place_state(state, mesh)
+        print(f"lr: {lr}")
+        result = run_training(
+            cfg, model, state, pipe_train, pipe_val,
+            base_key=jax.random.PRNGKey(cfg.train.seed), put=put,
+        )
+        print(f"Best validation accuracy: {result.best_accuracy:.4f}")
+
+    print("\n\n########## TEST ##########")
+    df_test, df_controls_test = read_metadata_csvs(cfg.data.path_metadata, "test")
+    print(f"Size test dataset: {len(df_test)}")
+
+    if local:
+        predict_model = DummyClassifier(nb_classes=cfg.model.nb_classes)
+        state = None
+    else:
+        payload = load_checkpoint(ckpt_path)
+        state, _ = create_train_state(cfg, model, steps_per_epoch=1, n_devices=n_devices)
+        state = state.replace(
+            params=payload["params"], batch_stats=payload["batch_stats"]
+        )
+        state = place_state(state, mesh)
+        predict_model = None
+
+    # plate-group construction (main.py:157-167)
+    plate_groups = None
+    if not args.no_plate_leak:
+        meta_train = os.path.join(cfg.data.path_metadata, "train.csv")
+        full_meta = os.path.join(cfg.data.path_data, "full_metadata", "train.csv")
+        src = full_meta if (local and os.path.exists(full_meta)) else meta_train
+        try:
+            plate_groups = build_plate_groups(
+                pd.read_csv(src), nb_classes=cfg.model.nb_classes
+            )
+        except AssertionError as e:
+            print(f"plate-group construction failed ({e}); "
+                  "falling back to unconstrained argmax")
+
+    experiments = list(df_test["experiment"].unique())
+    if args.experiment_types:
+        experiment_types = [int(x) for x in args.experiment_types.split(",")]
+    elif len(experiments) == len(REFERENCE_EXPERIMENT_TYPES):
+        experiment_types = REFERENCE_EXPERIMENT_TYPES
+    else:
+        experiment_types = [0] * len(experiments)
+    if not local:
+        assert len(experiment_types) == len(experiments)  # main.py:172-173
+
+    idx_test_all = load_metadata(df_test, df_controls_test, "test")
+    src_size = _probe_src_size(cfg, idx_test_all)
+    store_test = ByteStore(
+        idx_test_all, cfg.data.path_data, cfg.data.image_ext,
+        preload=cfg.data.cache_bytes_in_ram,
+    )
+
+    all_preds = []
+    for i, experiment in enumerate(experiments):
+        idx_exp = idx_test_all.for_experiment(experiment)
+        pipe = Pipeline(
+            idx_exp, store_test, stats, global_bs, "test", src_size,
+            decoder_threads=decoder_threads, shuffle=False, drop_last=False,
+        )
+        if predict_model is not None:
+            def dummy_step(_state, batch):
+                logits = predict_model(batch["images"])
+                return jax.nn.softmax(jnp.asarray(logits), axis=-1)
+
+            probs, ids = predict_dataset(
+                model, state, pipe, cfg.data.crop_size, model_fn=dummy_step
+            )
+        else:
+            probs, ids = predict_dataset(
+                model, state, pipe, cfg.data.crop_size, tta=args.tta, put=None
+            )
+        # rows arrive pipeline-ordered == df order (shuffle=False)
+        df_exp = df_test[df_test["experiment"] == experiment]
+        assert list(df_exp["id_code"]) == ids
+        plates = df_exp["plate"].to_numpy()
+        if plate_groups is not None:
+            preds = constrained_predict(
+                probs, plates, plate_groups, experiment_types[i], method=args.assign_method
+            )
+        else:
+            preds = rescale(probs).argmax(axis=1).astype(np.float64)
+        all_preds.append(preds)
+
+    preds = np.concatenate(all_preds, axis=0)
+    path = write_submission(df_test, preds, cfg.experiment_id, args.out_dir)
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

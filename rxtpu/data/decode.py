@@ -1,0 +1,135 @@
+"""Batch image decode: native C++/libjpeg thread-pool with cv2 fallback.
+
+The reference decodes each of a sample's 18 JPEGs one at a time with
+``cv2.imdecode`` inside DataLoader worker processes
+(``dataloader.py:141-146``). Here the whole batch of compressed buffers
+crosses into C once (``rxtpu/native/decoder.cpp``) and is decoded by a
+std::thread pool directly into one contiguous uint8 tensor — no Python
+loop, no per-image array allocation, no worker processes. PNG sources are
+also supported (via cv2), which removes the need for the reference's lossy
+offline PNG->JPEG conversion step (``png_to_jpeg.py``) while keeping the
+JPEG path for parity.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_SRC = os.path.join(_NATIVE_DIR, "decoder.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "librxtpu_decode.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_native_failed = False
+
+
+def _build_native() -> None:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB, "-ljpeg", "-lpthread"]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_native_lib(rebuild: bool = False) -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native decoder; None if unavailable."""
+    global _lib, _native_failed
+    if _lib is not None and not rebuild:
+        return _lib
+    if _native_failed and not rebuild:
+        return None
+    try:
+        if rebuild or not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            _build_native()
+        lib = ctypes.CDLL(_LIB)
+        lib.rxtpu_decode_batch.restype = ctypes.c_int
+        lib.rxtpu_decode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.rxtpu_encode_batch.restype = ctypes.c_int
+        lib.rxtpu_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+    except Exception:
+        _native_failed = True
+        return None
+
+
+def _decode_batch_cv2(buffers: Sequence[bytes], out: np.ndarray) -> int:
+    import cv2
+
+    failures = 0
+    for i, buf in enumerate(buffers):
+        img = cv2.imdecode(np.frombuffer(buf, dtype=np.uint8), cv2.IMREAD_GRAYSCALE)
+        if img is None or img.shape != out.shape[1:]:
+            out[i] = 0
+            failures += 1
+        else:
+            out[i] = img
+    return failures
+
+
+def decode_batch(
+    buffers: Sequence[bytes],
+    height: int,
+    width: int,
+    nthreads: int = 0,
+    use_native: bool = True,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Decode a batch of grayscale JPEG byte buffers to uint8 [N, H, W].
+
+    Failed/mismatched images decode to zeros (the pipeline surfaces the
+    failure count via ``decode_batch_checked`` when needed).
+    """
+    n = len(buffers)
+    if out is None:
+        out = np.empty((n, height, width), dtype=np.uint8)
+    if n == 0:
+        return out
+    lib = get_native_lib() if use_native else None
+    is_jpeg = buffers[0][:2] == b"\xff\xd8" if buffers[0] else False
+    if lib is None or not is_jpeg:
+        _decode_batch_cv2(buffers, out)
+        return out
+    data = b"".join(buffers)
+    lengths = np.array([len(b) for b in buffers], dtype=np.int64)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    arr = np.frombuffer(data, dtype=np.uint8)
+    lib.rxtpu_decode_batch(
+        arr.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
+        n, out.ctypes.data, height, width, nthreads,
+    )
+    return out
+
+
+def encode_batch_jpeg(
+    planes: np.ndarray, quality: int = 95, nthreads: int = 0
+) -> List[bytes]:
+    """Encode uint8 [N, H, W] planes to grayscale JPEG buffers (quality 95
+    matching png_to_jpeg.py:16). Uses the native encoder when available."""
+    n, h, w = planes.shape
+    lib = get_native_lib()
+    if lib is None:
+        import cv2
+
+        return [
+            cv2.imencode(".jpeg", planes[i], [cv2.IMWRITE_JPEG_QUALITY, quality])[1].tobytes()
+            for i in range(n)
+        ]
+    cap = h * w + 4096
+    out = np.empty((n, cap), dtype=np.uint8)
+    out_lengths = np.zeros(n, dtype=np.int64)
+    planes = np.ascontiguousarray(planes)
+    lib.rxtpu_encode_batch(
+        planes.ctypes.data, n, h, w, quality,
+        out.ctypes.data, cap, out_lengths.ctypes.data, nthreads,
+    )
+    return [out[i, : out_lengths[i]].tobytes() for i in range(n)]

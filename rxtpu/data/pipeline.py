@@ -1,0 +1,263 @@
+"""Host input pipeline: byte cache -> native batch decode -> prefetched batches.
+
+Rebuilds the capability of the reference ``ImagesDS`` + ``DataLoader``
+stack (``cell_classifier/dataloader.py``, ``train.py:28-35``) TPU-style:
+
+- ``ByteStore`` keeps the whole split's *compressed* JPEG buffers in RAM,
+  exactly like ``ImagesDS._load_imgs`` (``dataloader.py:55-109``), or reads
+  lazily from disk when ``preload=False`` (removing the tens-of-GB RAM
+  assumption, SURVEY.md §2 quirk 4).
+- Sample assembly parity: train/val draws one random site for the image,
+  the B02 negative control and a random positive-control well
+  (``dataloader.py:153-173``); test stacks both sites of each for the
+  G=6 two-site TTA layout ``[img_s1, img_s2, neg_s1, neg_s2, pos_s1,
+  pos_s2]`` (``dataloader.py:182-207``).
+- The batch that leaves the host is RAW uint8 channel planes
+  ``[B, G, 6, H, W]`` plus per-sample experiment mean/std; all geometric
+  augmentation and normalization run on device (``rxtpu.ops``), so host
+  work is just decode + memcpy — the reference instead burns CPU workers
+  on albumentations.
+- A background thread decodes ahead into a bounded queue
+  (``prefetch_depth``), and ``device_prefetch`` keeps the next batch's
+  host->device copy in flight while the current step runs (double
+  buffering).
+- Reproducibility: all random draws come from a generator seeded by
+  (seed, epoch), independent of thread timing.
+
+Batches are padded to a static shape with a ``valid`` mask so every step
+hits the same compiled XLA program (no dynamic shapes).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from rxtpu.data.decode import decode_batch
+from rxtpu.data.records import MetadataIndex, WellRecord, image_path
+from rxtpu.data.stats import stats_table
+
+
+class ByteStore:
+    """Compressed-buffer store for one split's samples + controls."""
+
+    def __init__(
+        self,
+        index: MetadataIndex,
+        img_dir: str,
+        ext: str = "jpeg",
+        channels: Sequence[int] = (1, 2, 3, 4, 5, 6),
+        preload: bool = True,
+        verbose: bool = False,
+    ):
+        self.index = index
+        self.img_dir = img_dir
+        self.ext = ext
+        self.channels = tuple(channels)
+        self._cache: Dict[Tuple[str, int, str, int], List[bytes]] = {}
+        if preload:
+            records = list(index.records)
+            records += list(index.neg_controls.values())
+            for lst in index.pos_controls.values():
+                records += lst
+            it = records
+            if verbose:
+                from tqdm import tqdm
+
+                it = tqdm(records, desc=f"Preloading {index.split} bytes")
+            for r in it:
+                for site in (1, 2):
+                    self._cache[(r.experiment, r.plate, r.well, site)] = self._read(r, site)
+
+    def _read(self, r: WellRecord, site: int) -> List[bytes]:
+        bufs = []
+        for ch in self.channels:
+            p = image_path(self.img_dir, self.index.split, r.experiment, r.plate, r.well, site, ch, self.ext)
+            with open(p, "rb") as f:
+                bufs.append(f.read())
+        return bufs
+
+    def get(self, r: WellRecord, site: int) -> List[bytes]:
+        key = (r.experiment, r.plate, r.well, site)
+        cached = self._cache.get(key)
+        if cached is None:
+            return self._read(r, site)
+        return cached
+
+
+class Pipeline:
+    """Batched sample-assembly pipeline over a MetadataIndex.
+
+    mode 'train'/'val': G=3 views [img, neg, pos] with random sites;
+    mode 'test': G=6 views (both sites of each).
+    """
+
+    def __init__(
+        self,
+        index: MetadataIndex,
+        store: ByteStore,
+        stats: Dict[str, Dict[str, np.ndarray]],
+        batch_size: int,
+        mode: str,
+        src_size: int = 512,
+        seed: int = 0,
+        shuffle: Optional[bool] = None,
+        drop_last: Optional[bool] = None,
+        decoder_threads: int = 0,
+        use_native: bool = True,
+        prefetch_depth: int = 2,
+    ):
+        assert mode in ("train", "val", "test")
+        self.index = index
+        self.store = store
+        self.batch_size = batch_size
+        self.mode = mode
+        self.src_size = src_size
+        self.seed = seed
+        self.shuffle = shuffle if shuffle is not None else (mode == "train")
+        self.drop_last = drop_last if drop_last is not None else (mode == "train")
+        self.decoder_threads = decoder_threads
+        self.use_native = use_native
+        self.prefetch_depth = prefetch_depth
+        self.n_channels = len(store.channels)
+        exps = sorted(stats.keys())
+        self._exp_index = {e: i for i, e in enumerate(exps)}
+        self._mean_table, self._std_table = stats_table(stats, exps)
+        self.G = 3 if mode in ("train", "val") else 6
+
+    def __len__(self) -> int:
+        n = len(self.index)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def steps_per_epoch(self) -> int:
+        return len(self)
+
+    # -- assembly ----------------------------------------------------------
+
+    def _views_for(self, r: WellRecord, rng: np.random.Generator) -> List[List[bytes]]:
+        """Return G view-buffer lists (each = n_channels compressed buffers)."""
+        neg, pos = self.index.control_views(r.experiment, r.plate, _NpRandom(rng))
+        if self.mode in ("train", "val"):
+            # independent random site per view (dataloader.py:156,161,169)
+            return [
+                self.store.get(r, int(rng.integers(1, 3))),
+                self.store.get(neg, int(rng.integers(1, 3))),
+                self.store.get(pos, int(rng.integers(1, 3))),
+            ]
+        return [
+            self.store.get(r, 1), self.store.get(r, 2),
+            self.store.get(neg, 1), self.store.get(neg, 2),
+            self.store.get(pos, 1), self.store.get(pos, 2),
+        ]
+
+    def _make_batch(self, recs: List[WellRecord], rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        bs, g, c, s = self.batch_size, self.G, self.n_channels, self.src_size
+        n_real = len(recs)
+        buffers: List[bytes] = []
+        labels = np.zeros(bs, np.int32)
+        exp_ids = np.zeros(bs, np.int32)
+        valid = np.zeros(bs, np.float32)
+        id_codes: List[str] = []
+        for i in range(bs):
+            r = recs[i] if i < n_real else recs[0]  # pad with sample 0, masked
+            for view in self._views_for(r, rng):
+                buffers.extend(view)
+            labels[i] = r.sirna
+            exp_ids[i] = self._exp_index[r.experiment]
+            valid[i] = 1.0 if i < n_real else 0.0
+            id_codes.append(r.id_code if i < n_real else "")
+        planes = decode_batch(
+            buffers, s, s, nthreads=self.decoder_threads, use_native=self.use_native
+        )
+        images = planes.reshape(bs, g, c, s, s)
+        return {
+            "images": images,
+            "labels": labels,
+            "mean": self._mean_table[exp_ids],
+            "std": self._std_table[exp_ids],
+            "valid": valid,
+            "id_codes": id_codes,
+        }
+
+    def _order(self, epoch: int) -> np.ndarray:
+        n = len(self.index)
+        if not self.shuffle:
+            return np.arange(n)
+        rng = np.random.default_rng((self.seed * 1000003 + epoch) & 0x7FFFFFFF)
+        return rng.permutation(n)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield host batches, decoded ahead by a background thread."""
+        order = self._order(epoch)
+        rng = np.random.default_rng((self.seed * 7777777 + epoch * 13 + 5) & 0x7FFFFFFF)
+        n_batches = len(self)
+        batches_recs = [
+            [self.index.records[j] for j in order[i * self.batch_size : (i + 1) * self.batch_size]]
+            for i in range(n_batches)
+        ]
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch_depth))
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for recs in batches_recs:
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(recs, rng))
+                q.put(None)
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+class _NpRandom:
+    """Adapter: numpy Generator -> the tiny random.Random surface records.py uses."""
+
+    def __init__(self, rng: np.random.Generator):
+        self._rng = rng
+
+    def randrange(self, n: int) -> int:
+        return int(self._rng.integers(0, n))
+
+
+def device_prefetch(host_iter: Iterator[Dict[str, np.ndarray]], device=None):
+    """Keep one batch's host->device transfer in flight ahead of consumption.
+
+    jax.device_put is async: by putting batch k+1 before yielding batch k,
+    the PCIe/ICI copy overlaps the model step (double buffering). Non-array
+    entries (id_codes) pass through on host.
+    """
+    import jax
+
+    def put(b):
+        out = {}
+        for k, v in b.items():
+            out[k] = jax.device_put(v, device) if isinstance(v, np.ndarray) else v
+        return out
+
+    prev = None
+    for batch in host_iter:
+        cur = put(batch)
+        if prev is not None:
+            yield prev
+        prev = cur
+    if prev is not None:
+        yield prev

@@ -78,10 +78,11 @@ def compute_stats_streaming(
     sum_x = acc_host[:, 1].reshape(len(experiments), NB_CHANNELS)
     sum_x2 = acc_host[:, 2].reshape(len(experiments), NB_CHANNELS)
     out: Dict[str, Dict[str, np.ndarray]] = {}
-    for i, exp in enumerate(experiments):
-        mean = sum_x[i] / count[i]
-        std = np.sqrt(sum_x2[i] / count[i] - mean**2)
-        out[exp] = {"mean": mean, "std": std}
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for i, exp in enumerate(experiments):
+            mean = sum_x[i] / count[i]  # NaN marks an empty (exp, channel) bucket
+            std = np.sqrt(sum_x2[i] / count[i] - mean**2)
+            out[exp] = {"mean": mean, "std": std}
     return out
 
 

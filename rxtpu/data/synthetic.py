@@ -126,6 +126,115 @@ def make_synthetic_dataset(
     return manifest
 
 
+def make_plate_balanced_synthetic_dataset(
+    root: str,
+    nb_classes: int = 8,
+    n_train_experiments: int = 3,
+    n_test_experiments: int = 2,
+    test_types: Sequence[int] = (0, 1),
+    img_size: int = 64,
+    seed: int = 0,
+    ext: str = "jpeg",
+) -> dict:
+    """Synthetic dataset honoring the Kaggle plate-leak structure.
+
+    Mirrors the real layout the reference exploits (main.py:157-167):
+    each sirna appears exactly ONCE per experiment; across the train
+    experiments a sirna lands on 3 distinct plates of 1..4 (the 4th is
+    systematically missing); each test experiment places sirna k on
+    ``plate_groups[k, type]`` for that experiment's type. So
+    ``build_plate_groups`` succeeds and greedy/Hungarian assignment has a
+    consistent one-to-one solution per experiment.
+    """
+    import cv2
+
+    from rxtpu.data.records import build_plate_groups
+
+    assert nb_classes >= 4 and len(test_types) == n_test_experiments
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+
+    def write_image(path: str, sirna: int, channel: int):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        base = (sirna * 23 + channel * 11) % 180
+        img = rng.integers(0, 60, size=(img_size, img_size), dtype=np.uint8) + base
+        cv2.imwrite(path, img, [cv2.IMWRITE_JPEG_QUALITY, 95] if ext == "jpeg" else [])
+
+    # sirna k's 3 allowed plates: {1..4} minus ((k % 4) + 1)
+    allowed = {
+        k: [p for p in (1, 2, 3, 4) if p != (k % 4) + 1] for k in range(nb_classes)
+    }
+
+    def emit_controls(split, exp, plate, ctrl_rows):
+        ctrl_rows.append(
+            dict(id_code=f"{exp}_{plate}_{NEG_CONTROL_WELL}", experiment=exp,
+                 plate=plate, well=NEG_CONTROL_WELL, sirna=1138,
+                 well_type="negative_control")
+        )
+        ctrl_rows.append(
+            dict(id_code=f"{exp}_{plate}_B20", experiment=exp, plate=plate,
+                 well="B20", sirna=1108, well_type="positive_control")
+        )
+        for well, s in ((NEG_CONTROL_WELL, 0), ("B20", 1)):
+            for site in (1, 2):
+                for ch in range(1, 7):
+                    write_image(image_path(root, split, exp, plate, well, site, ch, ext), s, ch)
+
+    manifest = {}
+    # ---- train: experiment e places sirna k on allowed[k][e % 3] ----------
+    rows, ctrl_rows = [], []
+    for e in range(n_train_experiments):
+        exp = f"HUVEC-{e+1:02d}"
+        used_wells = {p: 0 for p in (1, 2, 3, 4)}
+        for k in range(nb_classes):
+            plate = allowed[k][e % 3]
+            well = _well_name(used_wells[plate])
+            used_wells[plate] += 1
+            rows.append(dict(id_code=f"{exp}_{plate}_{well}", experiment=exp,
+                             plate=plate, well=well, sirna=k))
+            for site in (1, 2):
+                for ch in range(1, 7):
+                    write_image(image_path(root, "train", exp, plate, well, site, ch, ext), k, ch)
+        for plate in (1, 2, 3, 4):
+            emit_controls("train", exp, plate, ctrl_rows)
+    df_train = pd.DataFrame(rows)
+    pd.DataFrame(ctrl_rows).to_csv(
+        os.path.join(root, "metadata", "train_controls.csv"), index=False
+    )
+    df_train.to_csv(os.path.join(root, "metadata", "train.csv"), index=False)
+    manifest["train"] = df_train
+
+    # ---- test: sirna k at plate_groups[k, type] ---------------------------
+    plate_groups = build_plate_groups(df_train, nb_classes=nb_classes)
+    rows, ctrl_rows = [], []
+    for e in range(n_test_experiments):
+        exp = f"U2OS-{e+1:02d}"
+        etype = test_types[e]
+        used_wells = {p: 0 for p in (1, 2, 3, 4)}
+        for k in range(nb_classes):
+            plate = int(plate_groups[k, etype])
+            well = _well_name(used_wells[plate])
+            used_wells[plate] += 1
+            rows.append(dict(id_code=f"{exp}_{plate}_{well}", experiment=exp,
+                             plate=plate, well=well, _sirna_true=k))
+            for site in (1, 2):
+                for ch in range(1, 7):
+                    write_image(image_path(root, "test", exp, plate, well, site, ch, ext), k, ch)
+        for plate in (1, 2, 3, 4):
+            emit_controls("test", exp, plate, ctrl_rows)
+    df_test = pd.DataFrame(rows)
+    # ground truth kept in the manifest, not the public csv (Kaggle parity)
+    df_test_public = df_test.drop(columns=["_sirna_true"])
+    df_test_public.to_csv(os.path.join(root, "metadata", "test.csv"), index=False)
+    pd.DataFrame(ctrl_rows).to_csv(
+        os.path.join(root, "metadata", "test_controls.csv"), index=False
+    )
+    manifest["test"] = df_test
+    manifest["plate_groups"] = plate_groups
+    manifest["test_types"] = list(test_types)
+    return manifest
+
+
 def make_plate_balanced_train_df(
     nb_classes: int,
     experiments: Sequence[str] = ("HUVEC-01",),

@@ -1,0 +1,10 @@
+from rxtpu.infer.plate_leak import (  # noqa: F401
+    apply_plate_mask,
+    constrained_predict,
+    greedy_assign,
+    greedy_assign_jax,
+    hungarian_assign,
+    rescale,
+)
+from rxtpu.infer.tta import make_tta_predict_step, predict_dataset  # noqa: F401
+from rxtpu.infer.submit import write_submission  # noqa: F401

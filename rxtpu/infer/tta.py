@@ -1,0 +1,87 @@
+"""Test-time inference: two-site TTA forward + optional flip/rotation TTA.
+
+The reference's test forward is ``model(x[bs,6,6,364,364]) -> softmax``
+accumulated to numpy (``test.py:23-32``); the two-site averaging lives
+inside the model's G=6 grouping. Here the batched predict step is
+jit-compiled (``rxtpu.train.step.make_predict_step``) and an optional
+dihedral TTA (flips / 90-degree rotations, BASELINE config 3) averages
+softmax probabilities over deterministic geometric variants — done on
+device by transforming the already-normalized views.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rxtpu.data.pipeline import Pipeline, device_prefetch
+from rxtpu.ops import augment_batch
+from rxtpu.train.step import TrainState
+
+# named dihedral variants applied to NHWC views [B, G, H, W, C]
+_TTA_VARIANTS: Dict[str, Callable[[jnp.ndarray], jnp.ndarray]] = {
+    "identity": lambda v: v,
+    "hflip": lambda v: v[:, :, :, ::-1, :],
+    "vflip": lambda v: v[:, :, ::-1, :, :],
+    "rot180": lambda v: v[:, :, ::-1, ::-1, :],
+}
+
+
+def make_tta_predict_step(model, crop_size: int, tta: str = "none"):
+    """Build a jitted step: raw uint8 batch -> averaged softmax probs."""
+    if tta == "none":
+        variants = ["identity"]
+    elif tta == "flips":
+        variants = ["identity", "hflip", "vflip", "rot180"]
+    else:
+        raise ValueError(f"unknown tta mode {tta!r}")
+
+    def step_fn(state: TrainState, batch):
+        views = augment_batch(
+            batch["images"], batch["mean"], batch["std"],
+            jax.random.PRNGKey(0), crop_size=crop_size, train=False,
+        )
+        probs = None
+        for name in variants:
+            logits = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                _TTA_VARIANTS[name](views),
+                train=False,
+            )
+            p = jax.nn.softmax(logits, axis=-1)
+            probs = p if probs is None else probs + p
+        return probs / len(variants)
+
+    return jax.jit(step_fn)
+
+
+def predict_dataset(
+    model,
+    state: TrainState,
+    pipe: Pipeline,
+    crop_size: int,
+    tta: str = "none",
+    put=None,
+    model_fn: Optional[Callable] = None,
+) -> Tuple[np.ndarray, List[str]]:
+    """Softmax probabilities for a whole (test) pipeline.
+
+    Returns (probs [N, nb_classes], id_codes [N]) with padding rows removed.
+    ``model_fn`` overrides the predict step (used for DummyClassifier in
+    --debug local mode, main.py:144-145).
+    """
+    if put is None:
+        put = device_prefetch
+    step = model_fn if model_fn is not None else make_tta_predict_step(model, crop_size, tta)
+    all_probs, all_ids = [], []
+    for batch in put(pipe.epoch(0)):
+        id_codes = batch.pop("id_codes")
+        valid = np.asarray(batch.pop("valid"))
+        probs = np.asarray(step(state, batch))
+        keep = valid > 0
+        all_probs.append(probs[keep])
+        all_ids.extend([i for i, k in zip(id_codes, keep) if k])
+    return np.concatenate(all_probs, axis=0), all_ids

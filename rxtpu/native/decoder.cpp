@@ -1,0 +1,179 @@
+// Native batch image decoder for the rxtpu input pipeline.
+//
+// TPU-native replacement for the per-sample cv2.imdecode calls in the
+// reference's DataLoader workers (cell_classifier/dataloader.py:141-146):
+// one C call decodes a whole batch of grayscale JPEGs into a contiguous
+// uint8 tensor using a std::thread pool over libjpeg, so Python's GIL and
+// process-pool overheads are out of the hot path entirely. Also provides a
+// batch grayscale JPEG *encoder* used by the PNG->JPEG conversion tool
+// (reference png_to_jpeg.py).
+//
+// Build: g++ -O3 -shared -fPIC decoder.cpp -o librxtpu_decode.so -ljpeg
+// (done automatically by rxtpu/data/decode.py at first import).
+
+#include <atomic>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdlib>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+
+namespace {
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+void silent_output(j_common_ptr) {}  // keep libjpeg warnings off stderr
+
+// Decode one grayscale JPEG buffer into out[h*w]; returns 0 on success,
+// negative on failure, positive (actual dims packed) on size mismatch.
+int decode_one(const uint8_t* buf, size_t len, uint8_t* out, int out_h,
+               int out_w) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.output_message = silent_output;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;  // corrupt stream
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  cinfo.out_color_space = JCS_GRAYSCALE;
+  jpeg_start_decompress(&cinfo);
+  if (static_cast<int>(cinfo.output_height) != out_h ||
+      static_cast<int>(cinfo.output_width) != out_w) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -3;  // unexpected dimensions
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + static_cast<size_t>(cinfo.output_scanline) * out_w;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode n grayscale JPEGs (concatenated in `data` at `offsets`/`lengths`)
+// into out[n, out_h, out_w]. Returns number of failures; failed slots are
+// zero-filled. nthreads <= 0 selects hardware concurrency.
+int rxtpu_decode_batch(const uint8_t* data, const int64_t* offsets,
+                       const int64_t* lengths, int n, uint8_t* out, int out_h,
+                       int out_w, int nthreads) {
+  if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > n) nthreads = n;
+  std::atomic<int> next(0), failures(0);
+  const size_t plane = static_cast<size_t>(out_h) * out_w;
+  auto worker = [&]() {
+    int i;
+    while ((i = next.fetch_add(1)) < n) {
+      uint8_t* dst = out + plane * i;
+      int rc = decode_one(data + offsets[i], static_cast<size_t>(lengths[i]),
+                          dst, out_h, out_w);
+      if (rc != 0) {
+        std::memset(dst, 0, plane);
+        failures.fetch_add(1);
+      }
+    }
+  };
+  if (nthreads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(nthreads);
+    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failures.load();
+}
+
+// Encode n grayscale planes in[n, h, w] to JPEG (quality q) into per-slot
+// buffers out + i*cap; out_lengths[i] receives the encoded size (0 on
+// failure/overflow). Returns number of failures.
+int rxtpu_encode_batch(const uint8_t* in, int n, int h, int w, int quality,
+                       uint8_t* out, int64_t cap, int64_t* out_lengths,
+                       int nthreads) {
+  if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > n) nthreads = n;
+  std::atomic<int> next(0), failures(0);
+  const size_t plane = static_cast<size_t>(h) * w;
+  auto worker = [&]() {
+    int i;
+    while ((i = next.fetch_add(1)) < n) {
+      jpeg_compress_struct cinfo;
+      ErrorMgr jerr;
+      cinfo.err = jpeg_std_error(&jerr.pub);
+      jerr.pub.error_exit = error_exit;
+      jerr.pub.output_message = silent_output;
+      unsigned char* mem = nullptr;
+      unsigned long mem_size = 0;
+      if (setjmp(jerr.jump)) {
+        jpeg_destroy_compress(&cinfo);
+        if (mem) free(mem);
+        out_lengths[i] = 0;
+        failures.fetch_add(1);
+        continue;
+      }
+      jpeg_create_compress(&cinfo);
+      jpeg_mem_dest(&cinfo, &mem, &mem_size);
+      cinfo.image_width = w;
+      cinfo.image_height = h;
+      cinfo.input_components = 1;
+      cinfo.in_color_space = JCS_GRAYSCALE;
+      jpeg_set_defaults(&cinfo);
+      jpeg_set_quality(&cinfo, quality, TRUE);
+      jpeg_start_compress(&cinfo, TRUE);
+      const uint8_t* src = in + plane * i;
+      while (cinfo.next_scanline < cinfo.image_height) {
+        JSAMPROW row = const_cast<uint8_t*>(src) +
+                       static_cast<size_t>(cinfo.next_scanline) * w;
+        jpeg_write_scanlines(&cinfo, &row, 1);
+      }
+      jpeg_finish_compress(&cinfo);
+      jpeg_destroy_compress(&cinfo);
+      if (static_cast<int64_t>(mem_size) <= cap) {
+        std::memcpy(out + static_cast<size_t>(cap) * i, mem, mem_size);
+        out_lengths[i] = static_cast<int64_t>(mem_size);
+      } else {
+        out_lengths[i] = 0;
+        failures.fetch_add(1);
+      }
+      free(mem);
+    }
+  };
+  if (nthreads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(nthreads);
+    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failures.load();
+}
+
+}  // extern "C"

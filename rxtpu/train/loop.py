@@ -1,0 +1,161 @@
+"""Training loop: epochs, validation, best-checkpoint, early stopping.
+
+Replaces the pytorch-ignite engine wiring of ``cell_classifier/train.py``:
+
+- validation runs once BEFORE training and after every epoch
+  (``train.py:82-86`` runs the evaluator at STARTED and EPOCH_COMPLETED)
+- best-val-accuracy checkpointing with the "New best accuracy!" announcement
+  (``train.py:88-96``)
+- optional early stopping on val accuracy with patience
+  (``train.py:74-80``, off by default per ``main.py:51``)
+- progressive unfreezing by epoch when pretrained (``train.py:46-67``)
+- cosine LR annealing is inside the optimizer (see rxtpu.train.optim)
+- step-time + input-stall instrumentation and metric logging that actually
+  flushes (fixes SURVEY.md §2 quirk 2)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rxtpu.config import Config
+from rxtpu.data.pipeline import Pipeline, device_prefetch
+from rxtpu.train.checkpoint import BestCheckpointer
+from rxtpu.train.metrics import MetricLogger, StepTimer
+from rxtpu.train.optim import backbone_trainable_at_epoch
+from rxtpu.train.step import TrainState, make_eval_step, make_train_step
+
+
+@dataclasses.dataclass
+class TrainResult:
+    state: TrainState
+    best_accuracy: float
+    epochs_run: int
+    history: list
+
+
+def evaluate(
+    eval_step: Callable, state: TrainState, pipe: Pipeline, put: Callable
+) -> Dict[str, float]:
+    """Aggregate exact loss/accuracy over a validation pipeline."""
+    loss_sum, correct, count = 0.0, 0.0, 0.0
+    for batch in put(pipe.epoch(0)):
+        batch.pop("id_codes", None)
+        m = eval_step(state, batch)
+        loss_sum += float(m["loss_sum"])
+        correct += float(m["correct"])
+        count += float(m["count"])
+    count = max(count, 1.0)
+    return {"loss": loss_sum / count, "accuracy": correct / count}
+
+
+def run_training(
+    cfg: Config,
+    model,
+    state: TrainState,
+    train_pipe: Pipeline,
+    val_pipe: Pipeline,
+    base_key: jax.Array,
+    put: Optional[Callable] = None,
+    logger: Optional[MetricLogger] = None,
+    print_fn: Callable = print,
+) -> TrainResult:
+    """Run the full epoch loop; returns final state + best metric.
+
+    ``put`` maps a host-batch iterator to device batches (default:
+    single-device double-buffered prefetch; the data-parallel path passes a
+    sharding-aware version from rxtpu.parallel).
+    """
+    if put is None:
+        put = device_prefetch
+
+    crop = cfg.data.crop_size
+    train_step = make_train_step(model, crop)
+    eval_step = make_eval_step(model, crop)
+    ckpt = BestCheckpointer(cfg.checkpoint_path)
+    timer = StepTimer()
+    history = []
+    epoch = 0
+    epochs_without_improvement = 0
+    own_logger = logger is None
+    if own_logger:
+        logger = MetricLogger(cfg.train.board_dir, cfg.experiment_id)
+
+    def checkpoint_payload(st: TrainState) -> Dict:
+        return {
+            "params": st.params,
+            "batch_stats": st.batch_stats,
+            "opt_state": st.opt_state,
+            "step": st.step,
+        }
+
+    try:
+        # Validation at STARTED (train.py:82-86) — epoch 0 metrics seed best-acc.
+        val_m = evaluate(eval_step, state, val_pipe, put)
+        if ckpt.update(val_m["accuracy"], checkpoint_payload(state)):
+            print_fn(f"New best accuracy! Accuracy: {val_m['accuracy']}\nModel saved!")
+        print_fn(
+            f"Validation Results - Epoch: 0 Average Loss: {val_m['loss']:.4f} "
+            f"| Accuracy: {val_m['accuracy']:.4f}"
+        )
+        logger.log(0, val_m, prefix="validation")
+
+        for epoch in range(1, cfg.train.nb_epochs + 1):
+            trainable = backbone_trainable_at_epoch(
+                epoch, cfg.model.pretrained, cfg.train.freeze_head_only_epochs
+            )
+            if cfg.model.pretrained and epoch == 1:
+                print_fn("head is unfrozen")  # train.py:50-56 announcements
+            if cfg.model.pretrained and epoch == cfg.train.freeze_head_only_epochs + 1:
+                print_fn("Turn on all the layers")
+            flag = jnp.asarray(trainable)
+
+            timer.reset()
+            it = put(train_pipe.epoch(epoch))
+            while True:
+                with timer.waiting():
+                    batch = next(it, None)
+                if batch is None:
+                    break
+                batch.pop("id_codes", None)
+                batch.pop("valid", None)
+                with timer.stepping():
+                    state, m = train_step(state, batch, base_key, flag)
+                    step_i = int(state.step)
+                if step_i % cfg.train.log_every_steps == 0:
+                    logger.log(step_i, {k: float(v) for k, v in m.items()}, prefix="training")
+            logger.log(int(state.step), timer.summary(), prefix="perf")
+
+            val_m = evaluate(eval_step, state, val_pipe, put)
+            if ckpt.update(val_m["accuracy"], checkpoint_payload(state)):
+                print_fn(f"New best accuracy! Accuracy: {val_m['accuracy']}\nModel saved!")
+            print_fn(
+                f"Validation Results - Epoch: {epoch} Average Loss: {val_m['loss']:.4f} "
+                f"| Accuracy: {val_m['accuracy']:.4f}"
+            )
+            logger.log(int(state.step), val_m, prefix="validation")
+            history.append({"epoch": epoch, **val_m, **timer.summary()})
+
+            # EarlyStopping(patience) on val accuracy (train.py:74-80)
+            if val_m["accuracy"] >= (ckpt.best or 0.0):
+                epochs_without_improvement = 0
+            else:
+                epochs_without_improvement += 1
+            if cfg.train.early_stopping and epochs_without_improvement >= cfg.train.patience:
+                print_fn(f"EarlyStopping: stop after {epoch} epochs")
+                break
+    finally:
+        if own_logger:
+            logger.close()
+
+    return TrainResult(
+        state=state,
+        best_accuracy=float(ckpt.best or 0.0),
+        epochs_run=epoch,
+        history=history,
+    )

@@ -1,0 +1,80 @@
+"""Model + optimizer + state construction (the main.py:86-94 equivalent)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rxtpu.config import Config, resolve_lr
+from rxtpu.models import TwoSitesNN
+from rxtpu.train.optim import head_only_mask, make_optimizer
+from rxtpu.train.step import TrainState
+
+
+def build_model(cfg: Config, bn_axis_name: Optional[str] = None) -> TwoSitesNN:
+    return TwoSitesNN(
+        backbone=cfg.model.backbone,
+        nb_classes=cfg.model.nb_classes,
+        size_features=cfg.model.size_features,
+        dropout=cfg.model.dropout,
+        head=cfg.model.head,
+        arcface_margin=cfg.model.arcface_margin,
+        arcface_scale=cfg.model.arcface_scale,
+        dtype=jnp.dtype(cfg.model.compute_dtype),
+        param_dtype=jnp.dtype(cfg.model.param_dtype),
+        bn_axis_name=bn_axis_name,
+    )
+
+
+def create_train_state(
+    cfg: Config,
+    model: TwoSitesNN,
+    steps_per_epoch: int,
+    n_devices: int = 1,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[TrainState, float]:
+    """Initialize params (+ optional pretrained port), optimizer, TrainState.
+
+    Initialization uses a tiny dummy spatial size — conv/BN params are
+    shape-independent of H/W, so init is cheap even for 512^2 training.
+    Returns (state, resolved_lr); lr = 0.0005 * global batch (main.py:70-73).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(cfg.train.seed)
+    dummy = jnp.zeros((1, 3, 32, 32, 6), jnp.float32)
+    if cfg.model.head == "arcface":
+        variables = model.init(
+            {"params": rng, "dropout": rng}, dummy, train=False, labels=None
+        )
+    else:
+        variables = model.init({"params": rng, "dropout": rng}, dummy, train=False)
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+
+    if cfg.model.pretrained and cfg.model.pretrained_path:
+        from rxtpu.models.pretrained import load_torch_state_dict, port_torch_resnet50
+
+        if cfg.model.backbone != "resnet50":
+            raise ValueError("pretrained porting currently supports resnet50 only")
+        sd = load_torch_state_dict(cfg.model.pretrained_path)
+        params, batch_stats = port_torch_resnet50(sd, dict(params), dict(batch_stats))
+
+    lr = resolve_lr(cfg, n_devices)
+    tx = make_optimizer(
+        lr=lr,
+        nb_epochs=cfg.train.nb_epochs,
+        steps_per_epoch=steps_per_epoch,
+        momentum=cfg.train.momentum,
+        nesterov=cfg.train.nesterov,
+        weight_decay=cfg.train.weight_decay,
+        use_scheduler=cfg.train.scheduler,
+    )
+    state = TrainState.create(
+        params=params,
+        batch_stats=batch_stats,
+        tx=tx,
+        freeze_mask=head_only_mask(params),
+    )
+    return state, lr

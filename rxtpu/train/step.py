@@ -1,0 +1,162 @@
+"""jit-compiled train / eval steps.
+
+Replaces the reference's pytorch-ignite engine iteration
+(``train.py:44,141``) with pure functions compiled once by XLA:
+
+- the device-side augmentation (``rxtpu.ops``) is fused INTO the step, so
+  the host ships raw uint8 channel planes and the whole
+  decode-crop-normalize-forward-backward-update chain is a single XLA
+  program (one launch, full fusion, no host sync)
+- loss = softmax cross-entropy (train.py:37), metrics loss + accuracy
+  (train.py:39-42)
+- progressive unfreezing rides in as a traced bool so both phases share one
+  compilation (see rxtpu.train.optim)
+- the PRNG key is folded with the global step: reproducible regardless of
+  prefetch order or restart point
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from rxtpu.ops import augment_batch
+from rxtpu.train.optim import apply_freeze_mask
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    freeze_mask: Any = None
+
+    @classmethod
+    def create(cls, params, batch_stats, tx, freeze_mask):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+            freeze_mask=freeze_mask,
+        )
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def make_train_step(
+    model,
+    crop_size: int,
+    donate: bool = True,
+) -> Callable:
+    """Build the fused augment+forward+backward+update step.
+
+    batch: dict with
+      images: uint8 [B, G, C, H, W] raw decoded channel planes
+      labels: int32 [B]
+      mean/std: f32 [B, C] per-sample experiment stats
+    """
+
+    def step_fn(
+        state: TrainState,
+        batch: Dict[str, jnp.ndarray],
+        base_key: jax.Array,
+        backbone_trainable: jnp.ndarray,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        key = jax.random.fold_in(base_key, state.step)
+        aug_key, dropout_key = jax.random.split(key)
+        views = augment_batch(
+            batch["images"], batch["mean"], batch["std"], aug_key,
+            crop_size=crop_size, train=True,
+        )
+
+        def loss_fn(params):
+            logits, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                views,
+                train=True,
+                labels=batch["labels"],
+                rngs={"dropout": dropout_key},
+                mutable=["batch_stats"],
+            )
+            loss = cross_entropy(logits, batch["labels"])
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        updates = apply_freeze_mask(updates, state.freeze_mask, backbone_trainable)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "accuracy": (jnp.argmax(logits, -1) == batch["labels"]).mean(),
+        }
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, crop_size: int) -> Callable:
+    """Center-crop + normalize + forward; returns per-batch (loss_sum, correct, n).
+
+    Mirrors the ignite evaluator metrics (train.py:39-42) as exact sums so
+    epoch metrics are independent of batch partitioning.
+    """
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        views = augment_batch(
+            batch["images"], batch["mean"], batch["std"],
+            jax.random.PRNGKey(0), crop_size=crop_size, train=False,
+        )
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            views,
+            train=False,
+        )
+        labels = batch["labels"]
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones_like(labels, jnp.float32)
+        losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+        return {
+            "loss_sum": (losses * valid).sum(),
+            "correct": (correct * valid).sum(),
+            "count": valid.sum(),
+        }
+
+    return jax.jit(step_fn)
+
+
+def make_predict_step(model, crop_size: int) -> Callable:
+    """Test-time softmax probabilities (test.py:27-29): G=6 two-site TTA."""
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        views = augment_batch(
+            batch["images"], batch["mean"], batch["std"],
+            jax.random.PRNGKey(0), crop_size=crop_size, train=False,
+        )
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            views,
+            train=False,
+        )
+        return jax.nn.softmax(logits, axis=-1)
+
+    return jax.jit(step_fn)

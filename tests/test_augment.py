@@ -61,7 +61,7 @@ def test_crop_normalize_against_numpy():
     o = (SRC - CROP) // 2
     want = planes[:, o : o + CROP, o : o + CROP].astype(np.float32)
     want = want * scale[:, None, None] + bias[:, None, None]
-    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-6)
 
 
 def test_eval_params_are_identity_centercrop():

@@ -1,0 +1,93 @@
+"""End-to-end CLI test: train -> checkpoint -> test -> submission CSV.
+
+Drives the full main.py-parity flow on a Kaggle-structured synthetic
+dataset (plate leak intact), in-process via rxtpu.cli.main.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rxtpu.cli import main as cli_main
+from rxtpu.data.synthetic import make_plate_balanced_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def e2e_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    manifest = make_plate_balanced_synthetic_dataset(
+        str(root / "data"), nb_classes=4, img_size=48,
+        n_test_experiments=1, test_types=(0,),
+    )
+    return root, manifest
+
+
+def test_cli_full_flow(e2e_root, monkeypatch):
+    root, manifest = e2e_root
+    monkeypatch.chdir(root)
+    rc = cli_main([
+        "--debug", "--experiment_id", "e2e", "--nb-classes", "4",
+        "--epochs", "1", "--crop-size", "32", "--experiment-types", "0",
+    ])
+    assert rc == 0
+    # checkpoint written (best-val semantics, train.py:88-96)
+    assert os.path.exists("models/best_model_e2e.ckpt")
+    # submission format parity (main.py:198-201)
+    sub = pd.read_csv("submission_e2e.csv")
+    assert list(sub.columns) == ["id_code", "sirna"]
+    assert len(sub) == len(manifest["test"])
+    assert sub.sirna.dtype.kind == "i"
+    # plate-leak respected: every predicted sirna's group plate == well plate
+    pg = manifest["plate_groups"]
+    for r in sub.itertuples():
+        plate = int(r.id_code.split("_")[1])
+        assert pg[r.sirna, 0] == plate
+    # one-to-one assignment within the experiment
+    assert sub.sirna.nunique() == len(sub) or len(sub) > pg.shape[0]
+    # metrics logged and flushed (fixes reference quirk 2)
+    assert os.path.exists("board/e2e/metrics.jsonl")
+    assert os.path.getsize("board/e2e/metrics.jsonl") > 0
+
+    # second run skips training (main.py:96-97) and still writes a submission
+    os.remove("submission_e2e.csv")
+    rc = cli_main([
+        "--debug", "--experiment_id", "e2e", "--nb-classes", "4",
+        "--epochs", "1", "--crop-size", "32", "--experiment-types", "0",
+    ])
+    assert rc == 0
+    assert os.path.exists("submission_e2e.csv")
+
+
+def test_tools_stats_cli(e2e_root, monkeypatch, capsys):
+    root, _ = e2e_root
+    monkeypatch.chdir(root)
+    from rxtpu.tools import main as tools_main
+
+    tools_main(["stats", "--data", "data", "--out", "st.json"])
+    import json
+
+    stats = json.load(open("st.json"))
+    assert len(stats) >= 2  # train + test experiments
+    for v in stats.values():
+        assert len(v["mean"]) == 6 and len(v["std"]) == 6
+        assert all(0 < m < 1 for m in v["mean"])
+
+
+def test_tools_png2jpeg(tmp_path, monkeypatch):
+    import cv2
+
+    from rxtpu.tools import run_png2jpeg
+
+    d = tmp_path / "data" / "train" / "X-01" / "Plate1"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    cv2.imwrite(str(d / "B03_s1_w1.png"), img)
+    n = run_png2jpeg(str(tmp_path / "data"), quality=95)
+    assert n == 1
+    out = cv2.imread(str(d / "B03_s1_w1.jpeg"), cv2.IMREAD_GRAYSCALE)
+    assert out is not None and out.shape == (32, 32)
+    # q95 jpeg of noise: close but lossy
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 12

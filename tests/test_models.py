@@ -137,3 +137,14 @@ def test_dummy_classifier_distribution():
     assert out.std() > 0.4  # uniform on [-1,1] has std ~0.577
     out2 = np.asarray(d(jnp.zeros((32, 1))))
     assert not np.allclose(out, out2)  # stateful key advances
+
+
+def test_densenet121_features_shape():
+    from rxtpu.models import densenet121
+
+    m = densenet121(dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 32, 6))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(vars_, x)
+    assert out.shape == (1, 1024)
+    assert np.isfinite(np.asarray(out)).all()

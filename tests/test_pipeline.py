@@ -1,0 +1,133 @@
+"""Input pipeline tests: byte store, assembly parity, decode, prefetch."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rxtpu.data.decode import decode_batch, encode_batch_jpeg, get_native_lib
+from rxtpu.data.pipeline import ByteStore, Pipeline, device_prefetch
+from rxtpu.data.records import load_metadata, read_metadata_csvs
+from rxtpu.data.stats import compute_stats_numpy
+
+SRC = 64
+
+
+def _stats_for(index):
+    # flat stats (exact values irrelevant to pipeline mechanics)
+    exps = index.experiments
+    return {e: {"mean": np.full(6, 0.4), "std": np.full(6, 0.2)} for e in exps}
+
+
+@pytest.fixture(scope="module")
+def train_setup(synthetic_root):
+    root, _ = synthetic_root
+    df, dfc = read_metadata_csvs(os.path.join(root, "metadata"), "train")
+    idx = load_metadata(df, dfc, "train")
+    store = ByteStore(idx, root, preload=True)
+    return idx, store
+
+
+def test_native_roundtrip_matches_cv2():
+    import cv2
+
+    rng = np.random.default_rng(0)
+    planes = rng.integers(0, 256, size=(4, SRC, SRC), dtype=np.uint8)
+    bufs = encode_batch_jpeg(planes)
+    dec_native = decode_batch(bufs, SRC, SRC, use_native=True)
+    dec_cv2 = np.stack(
+        [cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_GRAYSCALE) for b in bufs]
+    )
+    np.testing.assert_array_equal(dec_native, dec_cv2)
+
+
+def test_bytestore_preload_equals_disk(train_setup):
+    idx, store = train_setup
+    r = idx.records[0]
+    lazy = ByteStore(idx, store.img_dir, preload=False)
+    assert store.get(r, 1) == lazy.get(r, 1)
+    assert len(store.get(r, 2)) == 6
+
+
+def test_train_batch_shapes(train_setup):
+    idx, store = train_setup
+    pipe = Pipeline(idx, store, _stats_for(idx), batch_size=4, mode="train", src_size=SRC)
+    batch = next(iter(pipe.epoch(0)))
+    assert batch["images"].shape == (4, 3, 6, SRC, SRC)
+    assert batch["images"].dtype == np.uint8
+    assert batch["labels"].shape == (4,)
+    assert batch["mean"].shape == (4, 6)
+    assert (batch["valid"] == 1).all()
+    # decoded content is non-degenerate
+    assert batch["images"].std() > 1.0
+
+
+def test_test_mode_g6_layout(train_setup):
+    idx, store = train_setup
+    pipe = Pipeline(idx, store, _stats_for(idx), batch_size=2, mode="test", src_size=SRC)
+    batch = next(iter(pipe.epoch(0)))
+    # G=6: [img_s1, img_s2, neg_s1, neg_s2, pos_s1, pos_s2] (dataloader.py:182-207)
+    assert batch["images"].shape == (2, 6, 6, SRC, SRC)
+    assert batch["id_codes"][0] != ""
+
+
+def test_partial_batch_padding_and_masking(train_setup):
+    idx, store = train_setup
+    n = len(idx)
+    bs = 5
+    assert n % bs != 0
+    pipe = Pipeline(
+        idx, store, _stats_for(idx), batch_size=bs, mode="val", src_size=SRC,
+        drop_last=False, shuffle=False,
+    )
+    batches = list(pipe.epoch(0))
+    assert len(batches) == (n + bs - 1) // bs
+    last = batches[-1]
+    n_real = n - (len(batches) - 1) * bs
+    assert last["valid"].sum() == n_real
+    assert (last["valid"][:n_real] == 1).all() and (last["valid"][n_real:] == 0).all()
+    # total valid across epoch == dataset size
+    assert sum(b["valid"].sum() for b in batches) == n
+
+
+def test_train_drop_last(train_setup):
+    idx, store = train_setup
+    pipe = Pipeline(idx, store, _stats_for(idx), batch_size=5, mode="train", src_size=SRC)
+    assert len(pipe) == len(idx) // 5
+
+
+def test_epoch_determinism_and_shuffling(train_setup):
+    idx, store = train_setup
+    pipe = Pipeline(idx, store, _stats_for(idx), batch_size=4, mode="train",
+                    src_size=SRC, seed=3)
+    a = next(iter(pipe.epoch(1)))
+    b = next(iter(pipe.epoch(1)))
+    np.testing.assert_array_equal(a["images"], b["images"])
+    np.testing.assert_array_equal(a["labels"], b["labels"])
+    c = next(iter(pipe.epoch(2)))
+    assert not np.array_equal(a["images"], c["images"])
+
+
+def test_producer_error_propagates(train_setup):
+    idx, store = train_setup
+
+    class BoomStore(ByteStore):
+        def get(self, r, site):
+            raise RuntimeError("boom")
+
+    boom = BoomStore(idx, store.img_dir, preload=False)
+    pipe = Pipeline(idx, boom, _stats_for(idx), batch_size=2, mode="train", src_size=SRC)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(pipe.epoch(0))
+
+
+def test_device_prefetch_order(train_setup):
+    idx, store = train_setup
+    pipe = Pipeline(idx, store, _stats_for(idx), batch_size=4, mode="val",
+                    src_size=SRC, shuffle=False, drop_last=False)
+    host = list(pipe.epoch(0))
+    dev = list(device_prefetch(iter(host)))
+    assert len(dev) == len(host)
+    for h, d in zip(host, dev):
+        np.testing.assert_array_equal(np.asarray(d["images"]), h["images"])
+        assert d["id_codes"] == h["id_codes"]
