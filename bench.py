@@ -83,7 +83,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backbone", default="resnet50")
     ap.add_argument("--batch", type=int, default=16, help="per-device batch")
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--crop", type=int, default=364)
     ap.add_argument("--src", type=int, default=512)

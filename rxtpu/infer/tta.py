@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rxtpu.data.pipeline import Pipeline, device_prefetch
-from rxtpu.ops import augment_batch
+from rxtpu.ops import eval_batch_normalize
 from rxtpu.train.step import TrainState
 
 # named dihedral variants applied to NHWC views [B, G, H, W, C]
@@ -40,9 +40,8 @@ def make_tta_predict_step(model, crop_size: int, tta: str = "none"):
         raise ValueError(f"unknown tta mode {tta!r}")
 
     def step_fn(state: TrainState, batch):
-        views = augment_batch(
-            batch["images"], batch["mean"], batch["std"],
-            jax.random.PRNGKey(0), crop_size=crop_size, train=False,
+        views = eval_batch_normalize(
+            batch["images"], batch["mean"], batch["std"], crop_size
         )
         probs = None
         for name in variants:

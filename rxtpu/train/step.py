@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from rxtpu.ops import augment_batch
+from rxtpu.ops import eval_batch_normalize, get_augment_fn
 from rxtpu.train.optim import apply_freeze_mask
 
 
@@ -57,6 +57,7 @@ def make_train_step(
     model,
     crop_size: int,
     donate: bool = True,
+    augment: str = "shear",
 ) -> Callable:
     """Build the fused augment+forward+backward+update step.
 
@@ -64,7 +65,11 @@ def make_train_step(
       images: uint8 [B, G, C, H, W] raw decoded channel planes
       labels: int32 [B]
       mean/std: f32 [B, C] per-sample experiment stats
+
+    ``augment`` selects the device augmentation backend (see
+    rxtpu.ops.get_augment_fn); 'shear' is the TPU-fast default.
     """
+    augment_batch = get_augment_fn(augment)
 
     def step_fn(
         state: TrainState,
@@ -120,9 +125,8 @@ def make_eval_step(model, crop_size: int) -> Callable:
     """
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        views = augment_batch(
-            batch["images"], batch["mean"], batch["std"],
-            jax.random.PRNGKey(0), crop_size=crop_size, train=False,
+        views = eval_batch_normalize(
+            batch["images"], batch["mean"], batch["std"], crop_size
         )
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -148,9 +152,8 @@ def make_predict_step(model, crop_size: int) -> Callable:
     """Test-time softmax probabilities (test.py:27-29): G=6 two-site TTA."""
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        views = augment_batch(
-            batch["images"], batch["mean"], batch["std"],
-            jax.random.PRNGKey(0), crop_size=crop_size, train=False,
+        views = eval_batch_normalize(
+            batch["images"], batch["mean"], batch["std"], crop_size
         )
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
