@@ -52,6 +52,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--assign-method", default="greedy",
                    choices=["greedy", "greedy_jax", "hungarian", "argmax"])
     p.add_argument("--no-plate-leak", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="resume mid-training from the rolling last checkpoint")
     p.add_argument("--experiment-types", default=None,
                    help="comma list of plate-group types per test experiment")
     p.add_argument("--model-parallel", type=int, default=1)
@@ -212,6 +214,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         result = run_training(
             cfg, model, state, pipe_train, pipe_val,
             base_key=jax.random.PRNGKey(cfg.train.seed), put=put,
+            resume=args.resume,
         )
         print(f"Best validation accuracy: {result.best_accuracy:.4f}")
 

@@ -51,11 +51,15 @@ def _shear_kernel(
     """One plane: per-row lane shift by k (barrel of static rolls) + lerp.
 
     out[r, j] = (1 - f_r) * x[r, j + k_r] + f_r * x[r, j + k_r + 1],
-    then * scale + bias (per-plane normalization).
+    then * scale + bias (per-plane normalization). Inputs/outputs may be
+    uint8/bf16 (halves HBM traffic); the barrel runs in f32 in VMEM —
+    Mosaic's dynamic rotate only supports 32-bit lanes.
     """
     x = in_ref[0]
     if in_uint8:
         x = x.astype(jnp.int32).astype(jnp.float32)
+    else:
+        x = x.astype(jnp.float32)
     k = k_ref[0, :, 0]
     for b in range(nbits):
         amt = 1 << b
@@ -65,7 +69,7 @@ def _shear_kernel(
     f = f_ref[0, :, 0][:, None]
     y = x * (1.0 - f) + neighbor * f
     y = y * scale_ref[0, 0, 0] + bias_ref[0, 0, 0]
-    out_ref[0] = y[:, :w_out]
+    out_ref[0] = y[:, :w_out].astype(out_ref.dtype)
 
 
 def shear_pass(
@@ -77,6 +81,7 @@ def shear_pass(
     scale: Optional[jnp.ndarray] = None,   # [P] per-plane multiplier
     bias: Optional[jnp.ndarray] = None,    # [P] per-plane offset
     interpret: Optional[bool] = None,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Fractional per-row lane shift with reflect-101 borders -> [P, H, w_out].
 
@@ -114,7 +119,7 @@ def shear_pass(
             pl.BlockSpec((1, h, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, h, w_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((p, h, w_out), out_dtype),
         interpret=interpret,
     )(k, f, scale.reshape(p, 1, 1), bias.reshape(p, 1, 1), xpad)
 
@@ -184,6 +189,8 @@ def rotate_crop_normalize(
     # pass 1: x-shear over all rows y: t1(y) = a * (y - cy)
     t1 = a[:, None] * (rows_y[None, :] - cy)                    # [P, H]
     p1l, p1r = _pads(shear_a, 0, w, w)
+    # f32 intermediates: sub-32-bit transposes/rolls are slower on TPU than
+    # the bandwidth they save (measured 53ms vs 24ms per 48-view batch)
     s1 = shear_pass(planes, t1, w, p1l, p1r, interpret=interpret)
 
     # pass 2 (on transposed planes; rows = x, lanes = y):

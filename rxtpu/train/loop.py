@@ -23,12 +23,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from rxtpu.config import Config
 from rxtpu.data.pipeline import Pipeline, device_prefetch
-from rxtpu.train.checkpoint import BestCheckpointer
+from rxtpu.train.checkpoint import (
+    BestCheckpointer,
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
 from rxtpu.train.metrics import MetricLogger, StepTimer
 from rxtpu.train.optim import backbone_trainable_at_epoch
 from rxtpu.train.step import TrainState, make_eval_step, make_train_step
+
+
+def last_checkpoint_path(cfg: Config) -> str:
+    """Rolling full-state checkpoint enabling mid-training resume — a
+    capability the reference lacks (it only phase-skips, SURVEY.md §5)."""
+    return os.path.join(cfg.train.checkpoint_dir, f"last_{cfg.experiment_id}.ckpt")
 
 
 @dataclasses.dataclass
@@ -64,6 +77,7 @@ def run_training(
     put: Optional[Callable] = None,
     logger: Optional[MetricLogger] = None,
     print_fn: Callable = print,
+    resume: bool = False,
 ) -> TrainResult:
     """Run the full epoch loop; returns final state + best metric.
 
@@ -81,10 +95,24 @@ def run_training(
     timer = StepTimer()
     history = []
     epoch = 0
+    start_epoch = 1
     epochs_without_improvement = 0
     own_logger = logger is None
     if own_logger:
         logger = MetricLogger(cfg.train.board_dir, cfg.experiment_id)
+
+    last_path = last_checkpoint_path(cfg)
+    if resume and checkpoint_exists(last_path):
+        saved = load_checkpoint(last_path)
+        state = state.replace(
+            step=saved["step"],
+            params=saved["params"],
+            batch_stats=saved["batch_stats"],
+            opt_state=saved["opt_state"],
+        )
+        ckpt.best = saved.get("best_metric")
+        start_epoch = int(saved["epoch"]) + 1
+        print_fn(f"Resumed from epoch {saved['epoch']} (step {int(saved['step'])})")
 
     def checkpoint_payload(st: TrainState) -> Dict:
         return {
@@ -95,17 +123,18 @@ def run_training(
         }
 
     try:
-        # Validation at STARTED (train.py:82-86) — epoch 0 metrics seed best-acc.
-        val_m = evaluate(eval_step, state, val_pipe, put)
-        if ckpt.update(val_m["accuracy"], checkpoint_payload(state)):
-            print_fn(f"New best accuracy! Accuracy: {val_m['accuracy']}\nModel saved!")
-        print_fn(
-            f"Validation Results - Epoch: 0 Average Loss: {val_m['loss']:.4f} "
-            f"| Accuracy: {val_m['accuracy']:.4f}"
-        )
-        logger.log(0, val_m, prefix="validation")
+        if start_epoch == 1:
+            # Validation at STARTED (train.py:82-86) — epoch 0 seeds best-acc.
+            val_m = evaluate(eval_step, state, val_pipe, put)
+            if ckpt.update(val_m["accuracy"], checkpoint_payload(state)):
+                print_fn(f"New best accuracy! Accuracy: {val_m['accuracy']}\nModel saved!")
+            print_fn(
+                f"Validation Results - Epoch: 0 Average Loss: {val_m['loss']:.4f} "
+                f"| Accuracy: {val_m['accuracy']:.4f}"
+            )
+            logger.log(0, val_m, prefix="validation")
 
-        for epoch in range(1, cfg.train.nb_epochs + 1):
+        for epoch in range(start_epoch, cfg.train.nb_epochs + 1):
             trainable = backbone_trainable_at_epoch(
                 epoch, cfg.model.pretrained, cfg.train.freeze_head_only_epochs
             )
@@ -140,6 +169,13 @@ def run_training(
             )
             logger.log(int(state.step), val_m, prefix="validation")
             history.append({"epoch": epoch, **val_m, **timer.summary()})
+
+            # rolling full-state checkpoint for mid-training resume
+            save_checkpoint(
+                last_path,
+                {**checkpoint_payload(state), "epoch": epoch,
+                 "best_metric": ckpt.best},
+            )
 
             # EarlyStopping(patience) on val accuracy (train.py:74-80)
             if val_m["accuracy"] >= (ckpt.best or 0.0):

@@ -172,3 +172,44 @@ def test_cross_entropy_matches_manual():
     p = jax.nn.log_softmax(logits)
     want = float(-(p[0, 0] + p[1, 1]) / 2)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_resume_from_last_checkpoint(tmp_path):
+    """Mid-training resume restores step/params/opt_state and epoch position."""
+    from rxtpu.train.checkpoint import save_checkpoint
+    from rxtpu.train.loop import last_checkpoint_path
+
+    cfg = _tiny_cfg(tmp_path)
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    step = make_train_step(model, CROP, donate=False)
+    batch = {k: jnp.asarray(v) for k, v in _fake_batch().items()}
+    for _ in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(0), jnp.asarray(True))
+    save_checkpoint(last_checkpoint_path(cfg), {
+        "params": state.params, "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state, "step": state.step,
+        "epoch": 1, "best_metric": 0.25,
+    })
+
+    # drive run_training with empty pipes is heavy; instead reuse the restore
+    # logic directly by calling run_training with resume on zero-epoch config
+    cfg.train.nb_epochs = 1
+
+    class OnePipe:
+        def __init__(self):
+            self.batches = [_fake_batch(seed=9)]
+        def epoch(self, e):
+            return iter([dict(b, valid=np.ones(2, np.float32)) for b in self.batches])
+        def __len__(self):
+            return 1
+
+    from rxtpu.train import run_training
+    fresh, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    res = run_training(
+        cfg, model, fresh, OnePipe(), OnePipe(),
+        base_key=jax.random.PRNGKey(0), print_fn=lambda *a: None, resume=True,
+    )
+    # resumed past epoch 1 with nb_epochs=1 -> no training ran, state preserved
+    assert int(res.state.step) == 3
+    assert res.best_accuracy == 0.25
