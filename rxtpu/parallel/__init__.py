@@ -6,3 +6,9 @@ from rxtpu.parallel.mesh import (  # noqa: F401
     sharded_prefetch,
 )
 from rxtpu.parallel.dp import place_state, make_put  # noqa: F401
+from rxtpu.parallel.multihost import (  # noqa: F401
+    assemble_global_batch,
+    host_shard_bounds,
+    multihost_prefetch,
+    shard_records_for_host,
+)

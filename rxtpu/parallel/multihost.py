@@ -1,0 +1,79 @@
+"""Multi-host SPMD input feeding.
+
+The reference is strictly single-host (``torch.nn.DataParallel``,
+SURVEY.md §2). For multi-host TPU pods the standard JAX recipe is:
+
+- every host builds the SAME global sample order (seeded permutation),
+- each host decodes only its contiguous 1/num_hosts slice of every batch,
+- ``jax.make_array_from_process_local_data`` assembles the global sharded
+  array; gradient all-reduce rides ICI, only input coordination metadata
+  ever touches DCN.
+
+Single-host degenerates to the identity, so the same pipeline code serves
+both; the host-slicing logic is unit-testable without a pod.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Sequence
+
+import numpy as np
+
+
+def host_shard_bounds(global_batch: int, num_hosts: int, host_id: int):
+    """[start, stop) rows of a global batch owned by ``host_id``.
+
+    Global batch must divide evenly (the pipeline pads batches to a static
+    shape, so this always holds in steady state).
+    """
+    assert global_batch % num_hosts == 0, (global_batch, num_hosts)
+    per_host = global_batch // num_hosts
+    return host_id * per_host, (host_id + 1) * per_host
+
+
+def shard_records_for_host(
+    order: np.ndarray, global_batch: int, num_hosts: int, host_id: int
+) -> List[np.ndarray]:
+    """Split a global epoch order into this host's per-batch index slices.
+
+    Every host computes the identical ``order`` (same seed); slicing is
+    deterministic, so no cross-host communication is needed to agree on
+    who decodes what.
+    """
+    n_batches = len(order) // global_batch
+    lo, hi = host_shard_bounds(global_batch, num_hosts, host_id)
+    return [
+        order[i * global_batch : (i + 1) * global_batch][lo:hi]
+        for i in range(n_batches)
+    ]
+
+
+def assemble_global_batch(local_batch: Dict[str, np.ndarray], mesh) -> Dict:
+    """Host-local arrays -> global sharded jax.Arrays on the 'data' axis.
+
+    On a single host this is equivalent to ``shard_batch``; on a pod each
+    process contributes its slice via make_array_from_process_local_data.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data"))
+    out = {}
+    for k, v in local_batch.items():
+        if isinstance(v, np.ndarray):
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+        else:
+            out[k] = v
+    return out
+
+
+def multihost_prefetch(host_iter: Iterator[Dict[str, np.ndarray]], mesh):
+    """Double-buffered multi-host device feed (drop-in for sharded_prefetch)."""
+    prev = None
+    for batch in host_iter:
+        cur = assemble_global_batch(batch, mesh)
+        if prev is not None:
+            yield prev
+        prev = cur
+    if prev is not None:
+        yield prev

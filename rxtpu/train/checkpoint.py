@@ -41,6 +41,30 @@ def checkpoint_exists(path: str) -> bool:
     return os.path.exists(path)
 
 
+# ---------------------------------------------------------------------------
+# Orbax backend — sharding-aware, async-capable checkpointing for pod-scale
+# runs (directory-based; the pickle backend remains the single-file default).
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(path: str, payload: Dict[str, Any]) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        ckptr.save(path, _to_host(payload))
+
+
+def load_checkpoint_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
+
+
 class BestCheckpointer:
     """Save-on-improvement tracker (train.py:88-96 semantics).
 

@@ -1,0 +1,123 @@
+"""Multi-host input sharding + orbax checkpoint + TTA/ArcFace extras."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rxtpu.parallel import (
+    assemble_global_batch,
+    host_shard_bounds,
+    make_mesh,
+    shard_records_for_host,
+)
+
+
+def test_host_shard_bounds():
+    assert host_shard_bounds(128, 4, 0) == (0, 32)
+    assert host_shard_bounds(128, 4, 3) == (96, 128)
+    with pytest.raises(AssertionError):
+        host_shard_bounds(100, 3, 0)
+
+
+def test_shard_records_cover_batch_exactly():
+    order = np.random.default_rng(0).permutation(64)
+    shards = [shard_records_for_host(order, 16, 4, h) for h in range(4)]
+    # 4 batches, each host owns 4 rows of each
+    assert all(len(s) == 4 for s in shards)
+    for b in range(4):
+        got = np.concatenate([shards[h][b] for h in range(4)])
+        np.testing.assert_array_equal(got, order[b * 16 : (b + 1) * 16])
+
+
+def test_assemble_global_batch_single_host(eight_cpu_devices):
+    mesh = make_mesh(n_devices=8)
+    batch = {
+        "images": np.arange(8 * 4, dtype=np.uint8).reshape(8, 4),
+        "id_codes": ["a"] * 8,
+    }
+    out = assemble_global_batch(batch, mesh)
+    assert out["images"].shape == (8, 4)
+    assert len(out["images"].addressable_shards) == 8
+    np.testing.assert_array_equal(np.asarray(out["images"]), batch["images"])
+    assert out["id_codes"] == ["a"] * 8
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from rxtpu.train.checkpoint import load_checkpoint_orbax, save_checkpoint_orbax
+
+    payload = {
+        "params": {"w": np.ones((3, 2), np.float32), "b": np.zeros(2, np.float32)},
+        "step": np.asarray(7),
+    }
+    p = str(tmp_path / "ckpt_orbax")
+    save_checkpoint_orbax(p, payload)
+    loaded = load_checkpoint_orbax(p)
+    np.testing.assert_array_equal(loaded["params"]["w"], payload["params"]["w"])
+    assert int(loaded["step"]) == 7
+    # overwrite works
+    payload["step"] = np.asarray(9)
+    save_checkpoint_orbax(p, payload)
+    assert int(load_checkpoint_orbax(p)["step"]) == 9
+
+
+def test_tta_flips_variants(tmp_path):
+    """Dihedral TTA: averaged probs differ from identity but stay normalized,
+    and are identical for symmetric inputs."""
+    from rxtpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from rxtpu.infer import make_tta_predict_step
+    from rxtpu.train import build_model, create_train_state
+
+    cfg = Config(
+        data=DataConfig(path_data="x", crop_size=24, src_size=32),
+        model=ModelConfig(backbone="resnet18", nb_classes=7, pretrained=False,
+                          size_features=16, compute_dtype="float32"),
+        train=TrainConfig(), experiment_id="tta",
+    )
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 256, (2, 6, 6, 32, 32), np.uint8)),
+        "mean": jnp.full((2, 6), 0.4), "std": jnp.full((2, 6), 0.2),
+    }
+    p_id = np.asarray(make_tta_predict_step(model, 24, "none")(state, batch))
+    p_fl = np.asarray(make_tta_predict_step(model, 24, "flips")(state, batch))
+    np.testing.assert_allclose(p_id.sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(p_fl.sum(-1), 1.0, rtol=1e-5)
+    assert not np.allclose(p_id, p_fl)
+    with pytest.raises(ValueError):
+        make_tta_predict_step(model, 24, "bogus")
+
+
+def test_arcface_train_step(tmp_path):
+    """ArcFace head trains end to end through the fused step."""
+    import os
+
+    from rxtpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from rxtpu.train import build_model, create_train_state, make_train_step
+
+    cfg = Config(
+        data=DataConfig(path_data="x", crop_size=24, src_size=32),
+        model=ModelConfig(backbone="resnet18", nb_classes=7, pretrained=False,
+                          size_features=16, head="arcface",
+                          compute_dtype="float32"),
+        train=TrainConfig(nb_epochs=1, bs_per_device=2,
+                          checkpoint_dir=os.path.join(str(tmp_path), "m")),
+        experiment_id="arc",
+    )
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 256, (2, 3, 6, 32, 32), np.uint8)),
+        "labels": jnp.asarray([1, 3]),
+        "mean": jnp.full((2, 6), 0.4), "std": jnp.full((2, 6), 0.2),
+    }
+    step = make_train_step(model, 24, donate=False)
+    s1, m = step(state, batch, jax.random.PRNGKey(0), jnp.asarray(True))
+    assert np.isfinite(float(m["loss"]))
+    # params moved
+    l0 = jax.tree_util.tree_leaves(state.params["head"])
+    l1 = jax.tree_util.tree_leaves(s1.params["head"])
+    assert any(not np.array_equal(a, b) for a, b in zip(l0, l1))

@@ -131,3 +131,20 @@ def test_device_prefetch_order(train_setup):
     for h, d in zip(host, dev):
         np.testing.assert_array_equal(np.asarray(d["images"]), h["images"])
         assert d["id_codes"] == h["id_codes"]
+
+
+def test_png_direct_pipeline(tmp_path):
+    """PNG sources feed the pipeline directly — no offline conversion step."""
+    from rxtpu.data.synthetic import make_synthetic_dataset
+
+    root = str(tmp_path / "pngdata")
+    make_synthetic_dataset(root, ext="png", experiments=("HUVEC-01",),
+                           plates=(1,), wells_per_plate=2)
+    df, dfc = read_metadata_csvs(os.path.join(root, "metadata"), "train")
+    idx = load_metadata(df, dfc, "train")
+    store = ByteStore(idx, root, ext="png", preload=True)
+    pipe = Pipeline(idx, store, _stats_for(idx), batch_size=2, mode="train",
+                    src_size=SRC)
+    batch = next(iter(pipe.epoch(0)))
+    assert batch["images"].shape == (2, 3, 6, SRC, SRC)
+    assert batch["images"].std() > 1.0  # actually decoded content
