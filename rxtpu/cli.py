@@ -49,6 +49,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=None, help="per-device batch size")
     p.add_argument("--crop-size", type=int, default=None)
     p.add_argument("--tta", default="none", choices=["none", "flips"])
+    p.add_argument("--tta-average", default="probs", choices=["probs", "logits"])
+    p.add_argument("--calibrate", action="store_true",
+                   help="neg-control embedding calibration in the head (config 4)")
+    p.add_argument("--augment", default="shear", choices=["shear", "gather"],
+                   help="train augmentation backend (gather = exact reference warp)")
     p.add_argument("--assign-method", default="greedy",
                    choices=["greedy", "greedy_jax", "hungarian", "argmax"])
     p.add_argument("--no-plate-leak", action="store_true")
@@ -93,6 +98,8 @@ def resolve_config(args) -> "Config":
         cfg.train.lr = args.lr
     if args.nb_classes is not None:
         cfg.model.nb_classes = args.nb_classes
+    cfg.model.control_calibration = args.calibrate
+    cfg.train.augment_backend = args.augment
     if args.stats is not None:
         cfg.data.stats_path = args.stats
     else:
@@ -282,7 +289,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
         else:
             probs, ids = predict_dataset(
-                model, state, pipe, cfg.data.crop_size, tta=args.tta, put=None
+                model, state, pipe, cfg.data.crop_size, tta=args.tta, put=None,
+                tta_average=args.tta_average,
             )
         # rows arrive pipeline-ordered == df order (shuffle=False)
         df_exp = df_test[df_test["experiment"] == experiment]

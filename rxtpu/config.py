@@ -54,6 +54,7 @@ class ModelConfig:
     head: str = "mlp"                        # "mlp" (reference) or "arcface" (BASELINE config 4)
     arcface_margin: float = 0.3
     arcface_scale: float = 30.0
+    control_calibration: bool = False        # neg-control embedding calibration (config 4)
     compute_dtype: str = "bfloat16"          # MXU-native
     param_dtype: str = "float32"
 
@@ -77,6 +78,7 @@ class TrainConfig:
     seed: int = 0
     nb_examples: Optional[int] = None        # debug cap (main.py:54,115-117)
     freeze_head_only_epochs: int = 2         # epochs 1-2 head-only when pretrained (train.py:46-67)
+    augment_backend: str = "shear"           # "shear" (TPU-fast) | "gather" (exact warp)
     log_every_steps: int = 50
     checkpoint_dir: str = "models"
     board_dir: str = "board"

@@ -30,29 +30,39 @@ _TTA_VARIANTS: Dict[str, Callable[[jnp.ndarray], jnp.ndarray]] = {
 }
 
 
-def make_tta_predict_step(model, crop_size: int, tta: str = "none"):
-    """Build a jitted step: raw uint8 batch -> averaged softmax probs."""
+def make_tta_predict_step(
+    model, crop_size: int, tta: str = "none", average: str = "probs"
+):
+    """Build a jitted step: raw uint8 batch -> averaged softmax probs.
+
+    ``average``: 'probs' averages softmax outputs across variants;
+    'logits' averages pre-softmax logits (BASELINE config 3's
+    "flip/rotate TTA logit averaging") then softmaxes once.
+    """
     if tta == "none":
         variants = ["identity"]
     elif tta == "flips":
         variants = ["identity", "hflip", "vflip", "rot180"]
     else:
         raise ValueError(f"unknown tta mode {tta!r}")
+    if average not in ("probs", "logits"):
+        raise ValueError(f"unknown tta average mode {average!r}")
 
     def step_fn(state: TrainState, batch):
         views = eval_batch_normalize(
             batch["images"], batch["mean"], batch["std"], crop_size
         )
-        probs = None
+        acc = None
         for name in variants:
             logits = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 _TTA_VARIANTS[name](views),
                 train=False,
             )
-            p = jax.nn.softmax(logits, axis=-1)
-            probs = p if probs is None else probs + p
-        return probs / len(variants)
+            term = jax.nn.softmax(logits, axis=-1) if average == "probs" else logits
+            acc = term if acc is None else acc + term
+        acc = acc / len(variants)
+        return acc if average == "probs" else jax.nn.softmax(acc, axis=-1)
 
     return jax.jit(step_fn)
 
@@ -65,6 +75,7 @@ def predict_dataset(
     tta: str = "none",
     put=None,
     model_fn: Optional[Callable] = None,
+    tta_average: str = "probs",
 ) -> Tuple[np.ndarray, List[str]]:
     """Softmax probabilities for a whole (test) pipeline.
 
@@ -74,7 +85,9 @@ def predict_dataset(
     """
     if put is None:
         put = device_prefetch
-    step = model_fn if model_fn is not None else make_tta_predict_step(model, crop_size, tta)
+    step = model_fn if model_fn is not None else make_tta_predict_step(
+        model, crop_size, tta, tta_average
+    )
     all_probs, all_ids = [], []
     for batch in put(pipe.epoch(0)):
         id_codes = batch.pop("id_codes")

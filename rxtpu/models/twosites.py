@@ -30,6 +30,7 @@ class TwoSitesNN(nn.Module):
     head: str = "mlp"                 # "mlp" | "arcface"
     arcface_margin: float = 0.3
     arcface_scale: float = 30.0
+    control_calibration: bool = False  # subtract neg-control embedding (config 4)
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
@@ -51,6 +52,12 @@ class TwoSitesNN(nn.Module):
         views = g // 3
         # mean over each group of views (models.py:46-50); G=6 => 2-site TTA
         grouped = feats.reshape(b, 3, views, f).mean(axis=2)
+        if self.control_calibration:
+            # plate-effect calibration (BASELINE config 4): reference the
+            # sample and positive-control embeddings against the plate's
+            # negative control; the raw neg embedding is kept as context.
+            img, neg, pos = grouped[:, 0], grouped[:, 1], grouped[:, 2]
+            grouped = jnp.stack([img - neg, neg, pos - neg], axis=1)
         feats = grouped.reshape(b, 3 * f)               # [B, 3F] concat (models.py:51-54)
         if self.head == "arcface":
             return ArcFaceHead(

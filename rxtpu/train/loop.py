@@ -89,7 +89,7 @@ def run_training(
         put = device_prefetch
 
     crop = cfg.data.crop_size
-    train_step = make_train_step(model, crop)
+    train_step = make_train_step(model, crop, augment=cfg.train.augment_backend)
     eval_step = make_eval_step(model, crop)
     ckpt = BestCheckpointer(cfg.checkpoint_path)
     timer = StepTimer()

@@ -22,6 +22,7 @@ def build_model(cfg: Config, bn_axis_name: Optional[str] = None) -> TwoSitesNN:
         head=cfg.model.head,
         arcface_margin=cfg.model.arcface_margin,
         arcface_scale=cfg.model.arcface_scale,
+        control_calibration=cfg.model.control_calibration,
         dtype=jnp.dtype(cfg.model.compute_dtype),
         param_dtype=jnp.dtype(cfg.model.param_dtype),
         bn_axis_name=bn_axis_name,

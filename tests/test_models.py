@@ -148,3 +148,24 @@ def test_densenet121_features_shape():
     out = m.apply(vars_, x)
     assert out.shape == (1, 1024)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_control_calibration_semantics():
+    """Calibrated model: shifting img and neg embeddings identically changes
+    nothing in the (img - neg) feature; the plain model does change."""
+    m = TwoSitesNN(backbone="resnet18", nb_classes=5, control_calibration=True,
+                   dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 48, 48, 6))
+    vars_ = m.init(jax.random.PRNGKey(1), x)
+    base = m.apply(vars_, x)
+    assert base.shape == (2, 5)
+    assert np.isfinite(np.asarray(base)).all()
+    # identical img and neg views -> img - neg feature is exactly zero, so
+    # swapping in any other identical pair yields identical calibrated term
+    same = x.at[:, 1].set(x[:, 0])
+    out_same = m.apply(vars_, same)
+    other = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 48, 48, 6))
+    other = other.at[:, 1].set(other[:, 0]).at[:, 2].set(same[:, 2])
+    out_other = m.apply(vars_, other)
+    # calibrated img-part and pos-part match; only the raw neg context differs
+    assert not np.allclose(np.asarray(out_same), np.asarray(out_other))

@@ -121,3 +121,29 @@ def test_arcface_train_step(tmp_path):
     l0 = jax.tree_util.tree_leaves(state.params["head"])
     l1 = jax.tree_util.tree_leaves(s1.params["head"])
     assert any(not np.array_equal(a, b) for a, b in zip(l0, l1))
+
+
+def test_tta_logit_averaging(tmp_path):
+    from rxtpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from rxtpu.infer import make_tta_predict_step
+    from rxtpu.train import build_model, create_train_state
+
+    cfg = Config(
+        data=DataConfig(path_data="x", crop_size=24, src_size=32),
+        model=ModelConfig(backbone="resnet18", nb_classes=7, pretrained=False,
+                          size_features=16, compute_dtype="float32"),
+        train=TrainConfig(), experiment_id="ttal",
+    )
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    rng = np.random.default_rng(1)
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 256, (2, 6, 6, 32, 32), np.uint8)),
+        "mean": jnp.full((2, 6), 0.4), "std": jnp.full((2, 6), 0.2),
+    }
+    pl_ = np.asarray(make_tta_predict_step(model, 24, "flips", "logits")(state, batch))
+    pp = np.asarray(make_tta_predict_step(model, 24, "flips", "probs")(state, batch))
+    np.testing.assert_allclose(pl_.sum(-1), 1.0, rtol=1e-5)
+    assert not np.allclose(pl_, pp)  # geometric vs arithmetic averaging differ
+    with pytest.raises(ValueError):
+        make_tta_predict_step(model, 24, "flips", "median")
