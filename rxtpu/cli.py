@@ -46,6 +46,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--head", default="mlp", choices=["mlp", "arcface"])
     p.add_argument("--pretrained-path", default=None, help="torch resnet50 state_dict")
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--val-fraction", type=float, default=None)
     p.add_argument("--batch-size", type=int, default=None, help="per-device batch size")
     p.add_argument("--crop-size", type=int, default=None)
     p.add_argument("--tta", default="none", choices=["none", "flips"])
@@ -87,6 +88,8 @@ def resolve_config(args) -> "Config":
         cfg.model.backbone = "resnet18"  # CPU-runnable slice (BASELINE config 1)
     if args.epochs is not None:
         cfg.train.nb_epochs = args.epochs
+    if args.val_fraction is not None:
+        cfg.train.val_fraction = args.val_fraction
     if args.batch_size is not None:
         cfg.train.bs_per_device = args.batch_size
         cfg.train.nb_examples = cfg.train.bs_per_device if args.debug else None

@@ -54,6 +54,11 @@ def get_native_lib(rebuild: bool = False) -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
         ]
+        lib.rxtpu_decode_files.restype = ctypes.c_int
+        lib.rxtpu_decode_files.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
     except Exception:
@@ -82,11 +87,13 @@ def decode_batch(
     nthreads: int = 0,
     use_native: bool = True,
     out: Optional[np.ndarray] = None,
+    strict: bool = False,
 ) -> np.ndarray:
     """Decode a batch of grayscale JPEG byte buffers to uint8 [N, H, W].
 
-    Failed/mismatched images decode to zeros (the pipeline surfaces the
-    failure count via ``decode_batch_checked`` when needed).
+    Failed/mismatched images decode to zeros; ``strict=True`` raises
+    instead (the reference crashes on any corrupt file — np.stack over a
+    None from cv2.imdecode — so strict mode is its parity behavior).
     """
     n = len(buffers)
     if out is None:
@@ -96,16 +103,59 @@ def decode_batch(
     lib = get_native_lib() if use_native else None
     is_jpeg = buffers[0][:2] == b"\xff\xd8" if buffers[0] else False
     if lib is None or not is_jpeg:
-        _decode_batch_cv2(buffers, out)
+        failures = _decode_batch_cv2(buffers, out)
+    else:
+        data = b"".join(buffers)
+        lengths = np.array([len(b) for b in buffers], dtype=np.int64)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        arr = np.frombuffer(data, dtype=np.uint8)
+        failures = lib.rxtpu_decode_batch(
+            arr.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
+            n, out.ctypes.data, height, width, nthreads,
+        )
+    if strict and failures:
+        raise ValueError(f"{failures}/{n} images failed to decode")
+    return out
+
+
+def decode_files(
+    paths: Sequence[str],
+    height: int,
+    width: int,
+    nthreads: int = 0,
+    use_native: bool = True,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Read + decode grayscale JPEG files to uint8 [N, H, W].
+
+    The native path runs open/read/decode entirely inside the C++ thread
+    pool (streaming mode — no Python per-file IO). Non-JPEG sources or a
+    missing native lib fall back to cv2.imread.
+    """
+    n = len(paths)
+    if out is None:
+        out = np.empty((n, height, width), dtype=np.uint8)
+    if n == 0:
         return out
-    data = b"".join(buffers)
-    lengths = np.array([len(b) for b in buffers], dtype=np.int64)
+    lib = get_native_lib() if use_native else None
+    is_jpeg = paths[0].endswith((".jpeg", ".jpg"))
+    if lib is None or not is_jpeg:
+        import cv2
+
+        for i, p in enumerate(paths):
+            img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+            if img is None or img.shape != out.shape[1:]:
+                out[i] = 0
+            else:
+                out[i] = img
+        return out
+    blob = b"\0".join(p.encode() for p in paths) + b"\0"
     offsets = np.zeros(n, dtype=np.int64)
-    np.cumsum(lengths[:-1], out=offsets[1:])
-    arr = np.frombuffer(data, dtype=np.uint8)
-    lib.rxtpu_decode_batch(
-        arr.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
-        n, out.ctypes.data, height, width, nthreads,
+    lens = np.array([len(p.encode()) + 1 for p in paths], dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    lib.rxtpu_decode_files(
+        blob, offsets.ctypes.data, n, out.ctypes.data, height, width, nthreads
     )
     return out
 

@@ -36,7 +36,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from rxtpu.data.decode import decode_batch
+from rxtpu.data.decode import decode_batch, decode_files
 from rxtpu.data.records import MetadataIndex, WellRecord, image_path
 from rxtpu.data.stats import stats_table
 
@@ -86,6 +86,17 @@ class ByteStore:
         if cached is None:
             return self._read(r, site)
         return cached
+
+    def paths(self, r: WellRecord, site: int) -> List[str]:
+        return [
+            image_path(self.img_dir, self.index.split, r.experiment, r.plate,
+                       r.well, site, ch, self.ext)
+            for ch in self.channels
+        ]
+
+    @property
+    def preloaded(self) -> bool:
+        return bool(self._cache)
 
 
 class Pipeline:
@@ -139,41 +150,49 @@ class Pipeline:
 
     # -- assembly ----------------------------------------------------------
 
-    def _views_for(self, r: WellRecord, rng: np.random.Generator) -> List[List[bytes]]:
-        """Return G view-buffer lists (each = n_channels compressed buffers)."""
+    def _view_keys(self, r: WellRecord, rng: np.random.Generator):
+        """The G (record, site) pairs for one sample, in view order."""
         neg, pos = self.index.control_views(r.experiment, r.plate, _NpRandom(rng))
         if self.mode in ("train", "val"):
             # independent random site per view (dataloader.py:156,161,169)
             return [
-                self.store.get(r, int(rng.integers(1, 3))),
-                self.store.get(neg, int(rng.integers(1, 3))),
-                self.store.get(pos, int(rng.integers(1, 3))),
+                (r, int(rng.integers(1, 3))),
+                (neg, int(rng.integers(1, 3))),
+                (pos, int(rng.integers(1, 3))),
             ]
-        return [
-            self.store.get(r, 1), self.store.get(r, 2),
-            self.store.get(neg, 1), self.store.get(neg, 2),
-            self.store.get(pos, 1), self.store.get(pos, 2),
-        ]
+        return [(r, 1), (r, 2), (neg, 1), (neg, 2), (pos, 1), (pos, 2)]
 
     def _make_batch(self, recs: List[WellRecord], rng: np.random.Generator) -> Dict[str, np.ndarray]:
         bs, g, c, s = self.batch_size, self.G, self.n_channels, self.src_size
         n_real = len(recs)
-        buffers: List[bytes] = []
+        # streaming mode: hand file PATHS to the native loader (open/read/
+        # decode all inside the C++ thread pool); preloaded mode ships the
+        # cached compressed buffers instead.
+        streaming = not self.store.preloaded
+        items: List = []
         labels = np.zeros(bs, np.int32)
         exp_ids = np.zeros(bs, np.int32)
         valid = np.zeros(bs, np.float32)
         id_codes: List[str] = []
         for i in range(bs):
             r = recs[i] if i < n_real else recs[0]  # pad with sample 0, masked
-            for view in self._views_for(r, rng):
-                buffers.extend(view)
+            for rec, site in self._view_keys(r, rng):
+                if streaming:
+                    items.extend(self.store.paths(rec, site))
+                else:
+                    items.extend(self.store.get(rec, site))
             labels[i] = r.sirna
             exp_ids[i] = self._exp_index[r.experiment]
             valid[i] = 1.0 if i < n_real else 0.0
             id_codes.append(r.id_code if i < n_real else "")
-        planes = decode_batch(
-            buffers, s, s, nthreads=self.decoder_threads, use_native=self.use_native
-        )
+        if streaming:
+            planes = decode_files(
+                items, s, s, nthreads=self.decoder_threads, use_native=self.use_native
+            )
+        else:
+            planes = decode_batch(
+                items, s, s, nthreads=self.decoder_threads, use_native=self.use_native
+            )
         images = planes.reshape(bs, g, c, s, s)
         return {
             "images": images,

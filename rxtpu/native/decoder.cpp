@@ -110,6 +110,57 @@ int rxtpu_decode_batch(const uint8_t* data, const int64_t* offsets,
   return failures.load();
 }
 
+// Read + decode n grayscale JPEG FILES into out[n, out_h, out_w]: the whole
+// open/read/decode path runs inside the thread pool, so the Python side of
+// the input pipeline only assembles path lists (no per-file IO under the
+// GIL). paths = concatenated NUL-terminated strings. Returns failure count;
+// failed slots zero-fill.
+int rxtpu_decode_files(const char* paths, const int64_t* path_offsets, int n,
+                       uint8_t* out, int out_h, int out_w, int nthreads) {
+  if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > n) nthreads = n;
+  std::atomic<int> next(0), failures(0);
+  const size_t plane = static_cast<size_t>(out_h) * out_w;
+  auto worker = [&]() {
+    std::vector<uint8_t> buf;
+    int i;
+    while ((i = next.fetch_add(1)) < n) {
+      uint8_t* dst = out + plane * i;
+      const char* path = paths + path_offsets[i];
+      FILE* f = fopen(path, "rb");
+      bool ok = false;
+      if (f) {
+        fseek(f, 0, SEEK_END);
+        long sz = ftell(f);
+        fseek(f, 0, SEEK_SET);
+        if (sz > 0) {
+          buf.resize(static_cast<size_t>(sz));
+          if (fread(buf.data(), 1, static_cast<size_t>(sz), f) ==
+              static_cast<size_t>(sz)) {
+            ok = decode_one(buf.data(), static_cast<size_t>(sz), dst, out_h,
+                            out_w) == 0;
+          }
+        }
+        fclose(f);
+      }
+      if (!ok) {
+        std::memset(dst, 0, plane);
+        failures.fetch_add(1);
+      }
+    }
+  };
+  if (nthreads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(nthreads);
+    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failures.load();
+}
+
 // Encode n grayscale planes in[n, h, w] to JPEG (quality q) into per-slot
 // buffers out + i*cap; out_lengths[i] receives the encoded size (0 on
 // failure/overflow). Returns number of failures.

@@ -102,9 +102,17 @@ def make_train_step(
         updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
         updates = apply_freeze_mask(updates, state.freeze_mask, backbone_trainable)
         new_params = optax.apply_updates(state.params, updates)
+        gsq = sum(
+            jnp.sum(jnp.square(g.astype(jnp.float32)))
+            for g in jax.tree_util.tree_leaves(grads)
+        )
         metrics = {
             "loss": loss,
             "accuracy": (jnp.argmax(logits, -1) == batch["labels"]).mean(),
+            # global gradient norm (the reference logged per-epoch gradient
+            # histograms, train.py:136-138; a scalar norm is the SPMD-cheap
+            # equivalent)
+            "grad_norm": jnp.sqrt(gsq),
         }
         new_state = state.replace(
             step=state.step + 1,

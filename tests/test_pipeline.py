@@ -115,6 +115,9 @@ def test_producer_error_propagates(train_setup):
         def get(self, r, site):
             raise RuntimeError("boom")
 
+        def paths(self, r, site):
+            raise RuntimeError("boom")
+
     boom = BoomStore(idx, store.img_dir, preload=False)
     pipe = Pipeline(idx, boom, _stats_for(idx), batch_size=2, mode="train", src_size=SRC)
     with pytest.raises(RuntimeError, match="boom"):
@@ -148,3 +151,49 @@ def test_png_direct_pipeline(tmp_path):
     batch = next(iter(pipe.epoch(0)))
     assert batch["images"].shape == (2, 3, 6, SRC, SRC)
     assert batch["images"].std() > 1.0  # actually decoded content
+
+
+def test_decode_files_native_matches_buffers(synthetic_root):
+    """Streaming file decode == preloaded buffer decode, bit-exact."""
+    import glob
+
+    from rxtpu.data.decode import decode_files
+
+    root, _ = synthetic_root
+    paths = sorted(glob.glob(os.path.join(root, "train", "*", "*", "*.jpeg")))[:12]
+    via_files = decode_files(paths, SRC, SRC, use_native=True)
+    bufs = []
+    for p in paths:
+        with open(p, "rb") as f:
+            bufs.append(f.read())
+    via_bufs = decode_batch(bufs, SRC, SRC, use_native=True)
+    np.testing.assert_array_equal(via_files, via_bufs)
+    # missing file zero-fills
+    bad = decode_files([paths[0], "/nonexistent/x.jpeg"], SRC, SRC)
+    assert bad[1].max() == 0 and np.array_equal(bad[0], via_files[0])
+
+
+def test_streaming_pipeline_equals_preloaded(synthetic_root):
+    """preload=False (native file streaming) yields identical batches."""
+    root, _ = synthetic_root
+    df, dfc = read_metadata_csvs(os.path.join(root, "metadata"), "train")
+    idx = load_metadata(df, dfc, "train")
+    pre = ByteStore(idx, root, preload=True)
+    lazy = ByteStore(idx, root, preload=False)
+    stats = _stats_for(idx)
+    kw = dict(batch_size=4, mode="train", src_size=SRC, seed=11)
+    a = next(iter(Pipeline(idx, pre, stats, **kw).epoch(2)))
+    b = next(iter(Pipeline(idx, lazy, stats, **kw).epoch(2)))
+    np.testing.assert_array_equal(a["images"], b["images"])
+    np.testing.assert_array_equal(a["labels"], b["labels"])
+
+
+def test_strict_decode_raises():
+    from rxtpu.data.decode import decode_batch
+
+    good = encode_batch_jpeg(np.zeros((1, SRC, SRC), np.uint8))[0]
+    with pytest.raises(ValueError, match="failed to decode"):
+        decode_batch([good, b"\xff\xd8garbage"], SRC, SRC, strict=True)
+    # non-strict zero-fills quietly (framework default)
+    out = decode_batch([good, b"\xff\xd8garbage"], SRC, SRC, strict=False)
+    assert out[1].max() == 0
