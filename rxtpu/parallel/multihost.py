@@ -67,6 +67,30 @@ def assemble_global_batch(local_batch: Dict[str, np.ndarray], mesh) -> Dict:
     return out
 
 
+def initialize_distributed(
+    coordinator_address: str = None,
+    num_processes: int = None,
+    process_id: int = None,
+) -> int:
+    """Initialize JAX multi-process runtime for pod slices.
+
+    Wraps ``jax.distributed.initialize`` (args auto-detected on Cloud TPU
+    when omitted). Returns this process's id. Safe no-op if already
+    initialized or single-process.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized, or single-process environment
+    return jax.process_index()
+
+
 def multihost_prefetch(host_iter: Iterator[Dict[str, np.ndarray]], mesh):
     """Double-buffered multi-host device feed (drop-in for sharded_prefetch)."""
     prev = None
