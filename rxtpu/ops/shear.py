@@ -155,6 +155,39 @@ def decompose_angle(angle: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return k.astype(jnp.int32) % 4, phi
 
 
+def dihedral_bits(vflip, hflip, k90):
+    """(swap, rev_rows, rev_cols) bits of D = rot90^k ∘ flips.
+
+    Every dihedral element acts as out[i,j] = in[u,v] with
+    (u~,v~) = (j,i) if swap else (i,j), u = S-1-u~ if rev_rows,
+    v = S-1-v~ if rev_cols. Composition: rotk bits are
+    k=0:(0,0,0) k=1:(1,1,0) k=2:(0,1,1) k=3:(1,0,1); the flips XOR into
+    the reversal bits.
+    """
+    k90 = k90 % 4
+    swap = k90 % 2 == 1
+    r_rot = (k90 == 1) | (k90 == 2)
+    c_rot = (k90 == 2) | (k90 == 3)
+    return swap, r_rot ^ vflip, c_rot ^ hflip
+
+
+def apply_dihedral_bits(planes: jnp.ndarray, swap, rrev, crev) -> jnp.ndarray:
+    """Apply source-form (swap, ri, rj) bits to [P, S, S] planes.
+
+    Source-form: out[i,j] = in[u,v] with (u~,v~) = (j,i) if swap else
+    (i,j), u reversed iff ri, v reversed iff rj. The implementation
+    reverses OUTPUT axes after the transpose, where output-row reversal
+    toggles the SECOND source axis when swapped — hence the role swap.
+    """
+    rho = jnp.where(swap, crev, rrev)    # output-row reversal
+    gamma = jnp.where(swap, rrev, crev)  # output-col reversal
+    xt = jnp.swapaxes(planes, 1, 2)
+    x = jnp.where(swap[:, None, None], xt, planes)
+    x = jnp.where(rho[:, None, None], x[:, ::-1, :], x)
+    x = jnp.where(gamma[:, None, None], x[:, :, ::-1], x)
+    return x
+
+
 def rotate_crop_normalize(
     planes: jnp.ndarray,    # [P, H, W] uint8 (dihedral already applied)
     phi: jnp.ndarray,       # [P] residual angle in [-pi/4, pi/4]
@@ -240,6 +273,12 @@ def augment_batch_shear(
     """Gather-free fused augmentation; same contract as ops.warp.augment_batch.
 
     Returns [B, G, crop, crop, C] normalized out_dtype NHWC views.
+
+    The dihedral part (rot90 + flips) is FOLDED to the output side via the
+    conjugation D^-1 R(phi) D = R(det(D) phi): the shears run directly on
+    the raw uint8 planes with a sign-adjusted residual angle and
+    transformed crop offsets, and the dihedral applies to the 364^2 crop
+    (2x less data than pre-transforming the 512^2 source).
     """
     from rxtpu.ops.warp import sample_affine_params
 
@@ -248,10 +287,22 @@ def augment_batch_shear(
     p = n * c
     angle, vflip, hflip, crop = sample_affine_params(key, n, h, crop_size, train)
     k90, phi = decompose_angle(angle)
+    swap, rrev, crev = dihedral_bits(vflip, hflip, k90)
+
+    # conjugation: R(phi) D = D R(s*phi), s = det(D)
+    s = jnp.where(swap, -1.0, 1.0) * jnp.where(rrev ^ crev, -1.0, 1.0)
+    phi_inner = s * phi
+    # crop window transformed through D^-1 (axis-aligned again)
+    oy, ox = crop[:, 0], crop[:, 1]
+    slack = h - crop_size
+    o_sel1 = jnp.where(swap, ox, oy)
+    o_sel2 = jnp.where(swap, oy, ox)
+    oy_in = jnp.where(rrev, slack - o_sel1, o_sel1)
+    ox_in = jnp.where(crev, slack - o_sel2, o_sel2)
+    crop_inner = jnp.stack([oy_in, ox_in], axis=-1)
 
     planes = images.reshape(p, h, w)
     rep = lambda v: jnp.repeat(v, c, axis=0)  # noqa: E731  per-view -> per-plane
-    planes = dihedral(planes, rep(vflip), rep(hflip), rep(k90))
 
     # normalization on raw 0..255 values: (x/255 - mean) / std
     scale = (1.0 / (255.0 * std)).astype(jnp.float32)
@@ -260,7 +311,9 @@ def augment_batch_shear(
     bias_p = jnp.repeat(bias[:, None, :], g, axis=1).reshape(p)
 
     out = rotate_crop_normalize(
-        planes, rep(phi), rep(crop), crop_size, scale_p, bias_p, interpret=interpret
+        planes, rep(phi_inner), rep(crop_inner), crop_size, scale_p, bias_p,
+        interpret=interpret,
     )
+    out = apply_dihedral_bits(out, rep(swap), rep(rrev), rep(crev))
     out = out.reshape(b, g, c, crop_size, crop_size)
     return jnp.transpose(out, (0, 1, 3, 4, 2)).astype(out_dtype)
