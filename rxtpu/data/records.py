@@ -26,7 +26,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import random
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 import pandas as pd

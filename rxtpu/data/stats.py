@@ -20,7 +20,7 @@ import functools
 import json
 import os
 import pickle
-from typing import Dict, Iterable, Iterator, List, Sequence, Tuple
+from typing import Dict, Iterable, Iterator, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ framework is testable end-to-end without the 45GB Kaggle download.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import pandas as pd

@@ -6,8 +6,6 @@ Columns ``id_code,sirna`` (int sirna), no index, written as
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import numpy as np
 import pandas as pd
 

@@ -21,7 +21,7 @@ implemented in ``rxtpu.models.pretrained.stem_kernel_from_rgb``.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

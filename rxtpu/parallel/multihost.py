@@ -15,7 +15,7 @@ both; the host-slicing logic is unit-testable without a pod.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Sequence
+from typing import Dict, Iterator, List
 
 import numpy as np
 

@@ -17,11 +17,10 @@ Replaces the pytorch-ignite engine wiring of ``cell_classifier/train.py``:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Iterator, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 import os
 

@@ -17,8 +17,7 @@ Replaces the reference's pytorch-ignite engine iteration
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
