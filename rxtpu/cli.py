@@ -292,7 +292,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
         else:
             probs, ids = predict_dataset(
-                model, state, pipe, cfg.data.crop_size, tta=args.tta, put=None,
+                model, state, pipe, cfg.data.crop_size, tta=args.tta, put=put,
                 tta_average=args.tta_average,
             )
         # rows arrive pipeline-ordered == df order (shuffle=False)
