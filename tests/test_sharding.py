@@ -126,3 +126,45 @@ def test_sharded_put_loop_integration(eight_cpu_devices):
     assert len(out) == 3
     for h, d in zip(host_batches, out):
         np.testing.assert_array_equal(np.asarray(d["images"]), h["images"])
+
+
+def test_run_training_on_mesh_with_pipeline(eight_cpu_devices, synthetic_root, tmp_path):
+    """Full training loop end-to-end under the 8-device mesh."""
+    import os
+
+    from rxtpu.data.pipeline import ByteStore, Pipeline
+    from rxtpu.data.records import load_metadata, read_metadata_csvs
+    from rxtpu.train import run_training
+
+    root, _ = synthetic_root
+    df, dfc = read_metadata_csvs(os.path.join(root, "metadata"), "train")
+    idx = load_metadata(df, dfc, "train")
+    store = ByteStore(idx, root, preload=True)
+    stats = {e: {"mean": np.full(6, 0.4), "std": np.full(6, 0.2)}
+             for e in idx.experiments}
+
+    cfg = _cfg()
+    cfg.data.crop_size = CROP
+    cfg.data.src_size = 64
+    cfg.train.nb_epochs = 1
+    cfg.train.checkpoint_dir = str(tmp_path / "models")
+    cfg.train.board_dir = str(tmp_path / "board")
+    cfg.model.nb_classes = 8
+
+    mesh = make_mesh(n_devices=8)
+    put = make_put(mesh)
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1, n_devices=8)
+    state = place_state(state, mesh)
+
+    pipe_train = Pipeline(idx, store, stats, batch_size=8, mode="train", src_size=64)
+    pipe_val = Pipeline(idx, store, stats, batch_size=8, mode="val", src_size=64,
+                        drop_last=False, shuffle=False)
+    res = run_training(cfg, model, state, pipe_train, pipe_val,
+                       base_key=jax.random.PRNGKey(0), put=put,
+                       print_fn=lambda *a: None)
+    assert res.epochs_run == 1
+    assert 0.0 <= res.best_accuracy <= 1.0
+    assert os.path.exists(cfg.checkpoint_path)
+    # per-device shards saw 1/8 of each batch
+    assert len(jax.devices()) == 8
