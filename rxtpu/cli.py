@@ -270,16 +270,18 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     idx_test_all = load_metadata(df_test, df_controls_test, "test")
     src_size = _probe_src_size(cfg, idx_test_all)
-    store_test = ByteStore(
-        idx_test_all, cfg.data.path_data, cfg.data.image_ext,
-        preload=cfg.data.cache_bytes_in_ram,
-    )
 
     all_preds = []
     for i, experiment in enumerate(experiments):
+        # per-experiment byte store, mirroring the reference's per-experiment
+        # ImagesDS (main.py:176-181) so test RAM stays one experiment wide
         idx_exp = idx_test_all.for_experiment(experiment)
+        store_exp = ByteStore(
+            idx_exp, cfg.data.path_data, cfg.data.image_ext,
+            preload=cfg.data.cache_bytes_in_ram,
+        )
         pipe = Pipeline(
-            idx_exp, store_test, stats, global_bs, "test", src_size,
+            idx_exp, store_exp, stats, global_bs, "test", src_size,
             decoder_threads=decoder_threads, shuffle=False, drop_last=False,
         )
         if predict_model is not None:

@@ -135,6 +135,12 @@ class Pipeline:
         self.prefetch_depth = prefetch_depth
         self.n_channels = len(store.channels)
         exps = sorted(stats.keys())
+        missing = {r.experiment for r in index.records} - set(exps)
+        if missing:
+            raise ValueError(
+                f"stats artifact lacks experiments {sorted(missing)}; "
+                "regenerate it with `python -m rxtpu.tools stats`"
+            )
         self._exp_index = {e: i for i, e in enumerate(exps)}
         self._mean_table, self._std_table = stats_table(stats, exps)
         self.G = 3 if mode in ("train", "val") else 6

@@ -113,9 +113,19 @@ class MetadataIndex:
         )
 
     def for_experiment(self, experiment: str) -> "MetadataIndex":
-        """Per-experiment view used by the test loop (main.py:174-181)."""
+        """Per-experiment view used by the test loop (main.py:174-181).
+
+        Controls are filtered too, so a ByteStore over this view preloads
+        only one experiment's bytes (reference per-experiment ImagesDS
+        memory behavior).
+        """
         idx = [i for i, r in enumerate(self.records) if r.experiment == experiment]
-        return self.subset(idx)
+        return MetadataIndex(
+            records=[self.records[i] for i in idx],
+            neg_controls={k: v for k, v in self.neg_controls.items() if k[0] == experiment},
+            pos_controls={k: v for k, v in self.pos_controls.items() if k[0] == experiment},
+            split=self.split,
+        )
 
 
 def _records_from_df(df: pd.DataFrame) -> List[WellRecord]:

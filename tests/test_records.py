@@ -127,3 +127,14 @@ def test_build_plate_groups_asserts_on_bad_data():
     )
     with pytest.raises(AssertionError):
         build_plate_groups(df, nb_classes=1)
+
+
+def test_for_experiment_filters_controls(synthetic_root):
+    root, _ = synthetic_root
+    df, df_controls = read_metadata_csvs(os.path.join(root, "metadata"), "test")
+    idx = load_metadata(df, df_controls, split="test")
+    exp = idx.experiments[0]
+    sub = idx.for_experiment(exp)
+    assert all(k[0] == exp for k in sub.neg_controls)
+    assert all(k[0] == exp for k in sub.pos_controls)
+    assert len(sub.neg_controls) < len(idx.neg_controls)
