@@ -91,3 +91,48 @@ def test_tools_png2jpeg(tmp_path, monkeypatch):
     assert out is not None and out.shape == (32, 32)
     # q95 jpeg of noise: close but lossy
     assert np.abs(out.astype(int) - img.astype(int)).mean() < 12
+
+
+def test_training_reproducibility(synthetic_root, tmp_path):
+    """Same seed + same data -> bit-identical params after a full epoch,
+    despite threaded prefetch and random control pairing (counter-based
+    RNG design, SURVEY §7 'hard parts')."""
+    import jax
+    import jax.numpy as jnp
+
+    from rxtpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from rxtpu.data.pipeline import ByteStore, Pipeline
+    from rxtpu.data.records import load_metadata, read_metadata_csvs
+    from rxtpu.train import build_model, create_train_state, run_training
+
+    root, _ = synthetic_root
+    df, dfc = read_metadata_csvs(os.path.join(root, "metadata"), "train")
+    idx = load_metadata(df, dfc, "train")
+    store = ByteStore(idx, root, preload=True)
+    stats = {e: {"mean": np.full(6, 0.4), "std": np.full(6, 0.2)}
+             for e in idx.experiments}
+
+    def one_run(tag):
+        cfg = Config(
+            data=DataConfig(path_data=root, crop_size=24, src_size=64),
+            model=ModelConfig(backbone="resnet18", nb_classes=8, pretrained=False,
+                              size_features=16, compute_dtype="float32"),
+            train=TrainConfig(nb_epochs=1, bs_per_device=4,
+                              checkpoint_dir=str(tmp_path / f"m{tag}"),
+                              board_dir=str(tmp_path / f"b{tag}")),
+            experiment_id="rep",
+        )
+        model = build_model(cfg)
+        state, _ = create_train_state(cfg, model, steps_per_epoch=3)
+        pt = Pipeline(idx, store, stats, 4, "train", 64, seed=5)
+        pv = Pipeline(idx, store, stats, 4, "val", 64, drop_last=False, shuffle=False)
+        res = run_training(cfg, model, state, pt, pv,
+                           base_key=jax.random.PRNGKey(7),
+                           print_fn=lambda *a: None)
+        return res.state
+
+    s1 = one_run("a")
+    s2 = one_run("b")
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
