@@ -49,6 +49,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--val-fraction", type=float, default=None)
     p.add_argument("--batch-size", type=int, default=None, help="per-device batch size")
     p.add_argument("--crop-size", type=int, default=None)
+    p.add_argument("--two-site-train", action="store_true",
+                   help="train with both sites per view group (config 3)")
     p.add_argument("--tta", default="none", choices=["none", "flips"])
     p.add_argument("--tta-average", default="probs", choices=["probs", "logits"])
     p.add_argument("--calibrate", action="store_true",
@@ -210,11 +212,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             idx_train, store, stats, global_bs, "train", src_size,
             seed=cfg.train.seed, decoder_threads=decoder_threads,
             prefetch_depth=cfg.data.prefetch_depth,
+            two_site=args.two_site_train,
         )
         pipe_val = Pipeline(
             idx_val, store_val, stats, global_bs, "val", src_size,
             seed=cfg.train.seed, decoder_threads=decoder_threads,
-            drop_last=False, shuffle=False,
+            drop_last=False, shuffle=False, two_site=args.two_site_train,
         )
         state, lr = create_train_state(
             cfg, model, steps_per_epoch=max(1, len(pipe_train)), n_devices=n_devices

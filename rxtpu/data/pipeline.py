@@ -104,6 +104,9 @@ class Pipeline:
 
     mode 'train'/'val': G=3 views [img, neg, pos] with random sites;
     mode 'test': G=6 views (both sites of each).
+    ``two_site=True`` makes train/val also use BOTH sites per view group
+    (G=6) so training sees the same two-site averaging as inference
+    (BASELINE config 3 "two-site training").
     """
 
     def __init__(
@@ -120,6 +123,7 @@ class Pipeline:
         decoder_threads: int = 0,
         use_native: bool = True,
         prefetch_depth: int = 2,
+        two_site: bool = False,
     ):
         assert mode in ("train", "val", "test")
         self.index = index
@@ -143,7 +147,8 @@ class Pipeline:
             )
         self._exp_index = {e: i for i, e in enumerate(exps)}
         self._mean_table, self._std_table = stats_table(stats, exps)
-        self.G = 3 if mode in ("train", "val") else 6
+        self.two_site = two_site
+        self.G = 6 if (mode == "test" or two_site) else 3
 
     def __len__(self) -> int:
         n = len(self.index)
@@ -159,7 +164,7 @@ class Pipeline:
     def _view_keys(self, r: WellRecord, rng: np.random.Generator):
         """The G (record, site) pairs for one sample, in view order."""
         neg, pos = self.index.control_views(r.experiment, r.plate, _NpRandom(rng))
-        if self.mode in ("train", "val"):
+        if self.mode in ("train", "val") and not self.two_site:
             # independent random site per view (dataloader.py:156,161,169)
             return [
                 (r, int(rng.integers(1, 3))),

@@ -197,3 +197,14 @@ def test_strict_decode_raises():
     # non-strict zero-fills quietly (framework default)
     out = decode_batch([good, b"\xff\xd8garbage"], SRC, SRC, strict=False)
     assert out[1].max() == 0
+
+
+def test_two_site_train_mode(train_setup):
+    """two_site=True: train batches carry G=6 (both sites per view group)."""
+    idx, store = train_setup
+    pipe = Pipeline(idx, store, _stats_for(idx), batch_size=2, mode="train",
+                    src_size=SRC, two_site=True)
+    batch = next(iter(pipe.epoch(0)))
+    assert batch["images"].shape == (2, 6, 6, SRC, SRC)
+    # sites 1 and 2 of the sample are genuinely different images
+    assert not np.array_equal(batch["images"][:, 0], batch["images"][:, 1])
