@@ -200,6 +200,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         idx_val = load_metadata(df_val, df_controls, "train")
         src_size = _probe_src_size(cfg, idx_train)
         cfg.data.src_size = src_size
+        if cfg.data.crop_size > src_size:
+            raise SystemExit(
+                f"crop size {cfg.data.crop_size} exceeds source image size "
+                f"{src_size}; pass --crop-size <= {src_size}"
+            )
         store = ByteStore(
             idx_train, cfg.data.path_data, cfg.data.image_ext,
             preload=cfg.data.cache_bytes_in_ram, verbose=not args.debug,
@@ -268,6 +273,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         experiment_types = REFERENCE_EXPERIMENT_TYPES
     else:
         experiment_types = [0] * len(experiments)
+        if not args.no_plate_leak and plate_groups is not None:
+            print(
+                f"warning: {len(experiments)} test experiments do not match the "
+                "18 Kaggle experiments; assuming plate-group type 0 for all "
+                "(override with --experiment-types)"
+            )
     if not local:
         assert len(experiment_types) == len(experiments)  # main.py:172-173
 
