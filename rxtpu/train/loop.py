@@ -43,6 +43,18 @@ def last_checkpoint_path(cfg: Config) -> str:
     return os.path.join(cfg.train.checkpoint_dir, f"last_{cfg.experiment_id}.ckpt")
 
 
+def _progress_bar(total: int, epoch: int):
+    """Per-epoch tqdm bar (the reference's ignite ProgressBar, train.py:69-70);
+    suppressed when stderr is not a tty (logs stay clean under drivers)."""
+    import sys
+
+    if not sys.stderr.isatty():
+        return None
+    from tqdm import tqdm
+
+    return tqdm(total=total, desc=f"epoch {epoch}", leave=False)
+
+
 @dataclasses.dataclass
 class TrainResult:
     state: TrainState
@@ -145,6 +157,7 @@ def run_training(
 
             timer.reset()
             it = put(train_pipe.epoch(epoch))
+            pbar = _progress_bar(len(train_pipe), epoch)
             while True:
                 with timer.waiting():
                     batch = next(it, None)
@@ -155,8 +168,13 @@ def run_training(
                 with timer.stepping():
                     state, m = train_step(state, batch, base_key, flag)
                     step_i = int(state.step)
+                if pbar is not None:
+                    pbar.update(1)
+                    pbar.set_postfix(loss=f"{float(m['loss']):.3f}", refresh=False)
                 if step_i % cfg.train.log_every_steps == 0:
                     logger.log(step_i, {k: float(v) for k, v in m.items()}, prefix="training")
+            if pbar is not None:
+                pbar.close()
             logger.log(int(state.step), timer.summary(), prefix="perf")
 
             val_m = evaluate(eval_step, state, val_pipe, put)
