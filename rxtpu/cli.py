@@ -84,9 +84,14 @@ def resolve_config(args) -> "Config":
     local = args.debug and jax.default_backend() == "cpu"  # main.py:41
     if args.debug:
         cfg = debug_overrides(cfg, local)
+    if args.pretrained_path:
+        # an explicit checkpoint implies the pretrained freeze schedule even
+        # in debug mode (reference disables pretrained locally only because
+        # torchvision would need network access, main.py:44)
+        cfg.model.pretrained = True
     if args.backbone:
         cfg.model.backbone = args.backbone
-    elif local:
+    elif local and not args.pretrained_path:
         cfg.model.backbone = "resnet18"  # CPU-runnable slice (BASELINE config 1)
     if args.epochs is not None:
         cfg.train.nb_epochs = args.epochs

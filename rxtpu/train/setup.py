@@ -54,7 +54,7 @@ def create_train_state(
     params = variables["params"]
     batch_stats = variables["batch_stats"]
 
-    if cfg.model.pretrained and cfg.model.pretrained_path:
+    if cfg.model.pretrained_path:  # explicit weights win over debug shrinking
         from rxtpu.models.pretrained import load_torch_state_dict, port_torch_resnet50
 
         if cfg.model.backbone != "resnet50":

@@ -136,3 +136,34 @@ def test_training_reproducibility(synthetic_root, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_pretrained_path_ports_torch_weights(e2e_root, monkeypatch, tmp_path):
+    """--pretrained-path loads a torch resnet50 state_dict and applies the
+    6-channel stem rule, even in debug mode."""
+    import torch
+
+    from rxtpu.models.pretrained import synthetic_resnet50_state_dict
+
+    root, _ = e2e_root
+    monkeypatch.chdir(root)
+    sd = synthetic_resnet50_state_dict(seed=1)
+    pth = str(tmp_path / "rn50.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, pth)
+
+    from rxtpu.cli import build_argparser, resolve_config
+    from rxtpu.train import build_model, create_train_state
+
+    args = build_argparser().parse_args([
+        "--debug", "--pretrained-path", pth, "--nb-classes", "4",
+        "--crop-size", "32", "--backbone", "resnet50",
+    ])
+    cfg = resolve_config(args)
+    assert cfg.model.pretrained
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    got = np.asarray(state.params["backbone"]["conv_init"]["kernel"])
+    from rxtpu.models import stem_kernel_from_rgb
+
+    want = stem_kernel_from_rgb(np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
