@@ -4,6 +4,8 @@ from rxtpu.models.resnet import (  # noqa: F401
     resnet18,
     resnet34,
     resnet50,
+    resnet101,
+    resnet152,
     make_backbone,
     BACKBONE_FEATURES,
 )

@@ -141,10 +141,20 @@ def resnet50(**kw) -> ResNet:
     return ResNet(stage_sizes=[3, 4, 6, 3], block_cls=BottleneckBlock, **kw)
 
 
+def resnet101(**kw) -> ResNet:
+    return ResNet(stage_sizes=[3, 4, 23, 3], block_cls=BottleneckBlock, **kw)
+
+
+def resnet152(**kw) -> ResNet:
+    return ResNet(stage_sizes=[3, 8, 36, 3], block_cls=BottleneckBlock, **kw)
+
+
 BACKBONE_FEATURES = {
     "resnet18": 512,
     "resnet34": 512,
     "resnet50": 2048,
+    "resnet101": 2048,
+    "resnet152": 2048,
     "densenet121": 1024,
 }
 
@@ -156,6 +166,10 @@ def make_backbone(arch: str, **kw):
         return resnet34(**kw)
     if arch == "resnet50":
         return resnet50(**kw)
+    if arch == "resnet101":
+        return resnet101(**kw)
+    if arch == "resnet152":
+        return resnet152(**kw)
     if arch == "densenet121":
         from rxtpu.models.densenet import densenet121
 

@@ -169,3 +169,15 @@ def test_control_calibration_semantics():
     out_other = m.apply(vars_, other)
     # calibrated img-part and pos-part match; only the raw neg context differs
     assert not np.allclose(np.asarray(out_same), np.asarray(out_other))
+
+
+def test_resnet101_and_152_shapes():
+    from rxtpu.models import resnet101, resnet152
+
+    for ctor, blocks in ((resnet101, 23), (resnet152, 36)):
+        m = ctor(dtype=jnp.float32)
+        assert m.stage_sizes[2] == blocks
+    m = resnet101(dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 32, 6))
+    out = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+    assert out.shape == (1, 2048)
