@@ -44,6 +44,30 @@ def _conv_oihw_to_hwio(w: np.ndarray) -> np.ndarray:
 
 _RESNET50_STAGES = [3, 4, 6, 3]
 
+# stage sizes + convs-per-block for every portable torchvision resnet
+_RESNET_ARCH = {
+    "resnet18": ([2, 2, 2, 2], 2),
+    "resnet34": ([3, 4, 6, 3], 2),
+    "resnet50": ([3, 4, 6, 3], 3),
+    "resnet101": ([3, 4, 23, 3], 3),
+    "resnet152": ([3, 8, 36, 3], 3),
+}
+
+
+def port_torch_resnet(
+    sd: Dict[str, np.ndarray],
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    arch: str = "resnet50",
+    backbone_scope: str = "backbone",
+    nb_channels: int = 6,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Copy a torch resnet state_dict into the Flax trees (any variant)."""
+    stages, convs_per_block = _RESNET_ARCH[arch]
+    return _port_torch_resnet(
+        sd, params, batch_stats, stages, convs_per_block, backbone_scope, nb_channels
+    )
+
 
 def port_torch_resnet50(
     sd: Dict[str, np.ndarray],
@@ -61,6 +85,19 @@ def port_torch_resnet50(
       layer{L}.{B}.bnN   -> stage{L}_block{B+1}.BatchNorm_{N-1}
       layer{L}.{B}.downsample.0/1 -> conv_proj / norm_proj
     """
+    return _port_torch_resnet(sd, params, batch_stats, _RESNET50_STAGES, 3,
+                              backbone_scope, nb_channels)
+
+
+def _port_torch_resnet(
+    sd: Dict[str, np.ndarray],
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    stages,
+    convs_per_block: int,
+    backbone_scope: str,
+    nb_channels: int,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     import jax
 
     params = jax.tree_util.tree_map(np.asarray, params)
@@ -84,11 +121,11 @@ def port_torch_resnet50(
     )
     set_bn(p["bn_init"], bs["bn_init"], "bn1")
 
-    for li, n_blocks in enumerate(_RESNET50_STAGES):
+    for li, n_blocks in enumerate(stages):
         for bi in range(n_blocks):
             scope = f"stage{li+1}_block{bi+1}"
             tp = f"layer{li+1}.{bi}"
-            for ci in range(3):
+            for ci in range(convs_per_block):
                 set_conv(p[scope][f"Conv_{ci}"], f"{tp}.conv{ci+1}.weight")
                 set_bn(
                     p[scope][f"BatchNorm_{ci}"], bs[scope][f"BatchNorm_{ci}"],
@@ -104,8 +141,10 @@ def port_torch_resnet50(
     return to_jnp(params), to_jnp(batch_stats)
 
 
-def synthetic_resnet50_state_dict(seed: int = 0) -> Dict[str, np.ndarray]:
-    """Generate a random torch-format resnet50 state_dict (for tests/fixtures)."""
+def synthetic_resnet_state_dict(arch: str = "resnet50", seed: int = 0) -> Dict[str, np.ndarray]:
+    """Generate a random torch-format resnet state_dict (for tests/fixtures)."""
+    stages, convs_per_block = _RESNET_ARCH[arch]
+    expansion = 4 if convs_per_block == 3 else 1
     rng = np.random.default_rng(seed)
     sd: Dict[str, np.ndarray] = {}
 
@@ -121,21 +160,31 @@ def synthetic_resnet50_state_dict(seed: int = 0) -> Dict[str, np.ndarray]:
     conv("conv1.weight", 64, 3, 7)
     bn("bn1", 64)
     in_ch = 64
-    for li, n_blocks in enumerate(_RESNET50_STAGES):
+    for li, n_blocks in enumerate(stages):
         width = 64 * 2**li
-        out_ch = width * 4
+        out_ch = width * expansion
         for bi in range(n_blocks):
             tp = f"layer{li+1}.{bi}"
-            conv(f"{tp}.conv1.weight", width, in_ch, 1)
-            bn(f"{tp}.bn1", width)
-            conv(f"{tp}.conv2.weight", width, width, 3)
-            bn(f"{tp}.bn2", width)
-            conv(f"{tp}.conv3.weight", out_ch, width, 1)
-            bn(f"{tp}.bn3", out_ch)
-            if bi == 0:
+            if convs_per_block == 3:
+                conv(f"{tp}.conv1.weight", width, in_ch, 1)
+                bn(f"{tp}.bn1", width)
+                conv(f"{tp}.conv2.weight", width, width, 3)
+                bn(f"{tp}.bn2", width)
+                conv(f"{tp}.conv3.weight", out_ch, width, 1)
+                bn(f"{tp}.bn3", out_ch)
+            else:
+                conv(f"{tp}.conv1.weight", width, in_ch, 3)
+                bn(f"{tp}.bn1", width)
+                conv(f"{tp}.conv2.weight", out_ch, width, 3)
+                bn(f"{tp}.bn2", out_ch)
+            if in_ch != out_ch:
                 conv(f"{tp}.downsample.0.weight", out_ch, in_ch, 1)
                 bn(f"{tp}.downsample.1", out_ch)
             in_ch = out_ch
-    sd["fc.weight"] = rng.normal(0, 0.02, size=(1000, 2048)).astype(np.float32)
+    sd["fc.weight"] = rng.normal(0, 0.02, size=(1000, in_ch)).astype(np.float32)
     sd["fc.bias"] = np.zeros(1000, dtype=np.float32)
     return sd
+
+
+def synthetic_resnet50_state_dict(seed: int = 0) -> Dict[str, np.ndarray]:
+    return synthetic_resnet_state_dict("resnet50", seed)

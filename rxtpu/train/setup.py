@@ -55,12 +55,17 @@ def create_train_state(
     batch_stats = variables["batch_stats"]
 
     if cfg.model.pretrained_path:  # explicit weights win over debug shrinking
-        from rxtpu.models.pretrained import load_torch_state_dict, port_torch_resnet50
+        from rxtpu.models.pretrained import _RESNET_ARCH, load_torch_state_dict, port_torch_resnet
 
-        if cfg.model.backbone != "resnet50":
-            raise ValueError("pretrained porting currently supports resnet50 only")
+        if cfg.model.backbone not in _RESNET_ARCH:
+            raise ValueError(
+                f"pretrained porting supports {sorted(_RESNET_ARCH)}, "
+                f"not {cfg.model.backbone!r}"
+            )
         sd = load_torch_state_dict(cfg.model.pretrained_path)
-        params, batch_stats = port_torch_resnet50(sd, dict(params), dict(batch_stats))
+        params, batch_stats = port_torch_resnet(
+            sd, dict(params), dict(batch_stats), arch=cfg.model.backbone
+        )
 
     lr = resolve_lr(cfg, n_devices)
     tx = make_optimizer(

@@ -181,3 +181,22 @@ def test_resnet101_and_152_shapes():
     x = jnp.zeros((1, 32, 32, 6))
     out = m.apply(m.init(jax.random.PRNGKey(0), x), x)
     assert out.shape == (1, 2048)
+
+
+def test_torch_resnet18_porting():
+    from rxtpu.models.pretrained import port_torch_resnet, synthetic_resnet_state_dict
+
+    sd = synthetic_resnet_state_dict("resnet18", seed=2)
+    m = resnet18(dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 6))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    params = {"backbone": jax.tree_util.tree_map(np.asarray, vars_["params"])}
+    stats = {"backbone": jax.tree_util.tree_map(np.asarray, vars_["batch_stats"])}
+    new_params, new_stats = port_torch_resnet(sd, params, stats, arch="resnet18")
+    got = new_params["backbone"]["stage4_block2"]["Conv_1"]["kernel"]
+    want = np.transpose(sd["layer4.1.conv2.weight"], (2, 3, 1, 0))
+    np.testing.assert_allclose(got, want)
+    out = m.apply(
+        {"params": new_params["backbone"], "batch_stats": new_stats["backbone"]}, x
+    )
+    assert out.shape == (1, 512) and np.isfinite(np.asarray(out)).all()
