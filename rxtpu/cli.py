@@ -42,6 +42,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data-dir", default="data")
     p.add_argument("--stats", default=None, help="stats artifact (.json or .pickle)")
     p.add_argument("--image-ext", default="jpeg", choices=["jpeg", "png"])
+    p.add_argument("--pack", default=None,
+                   help="rxpack directory (decode-free raw input; see rxtpu.tools pack)")
     p.add_argument("--backbone", default=None, help="resnet18|resnet50|densenet121")
     p.add_argument("--head", default="mlp", choices=["mlp", "arcface"])
     p.add_argument("--pretrained-path", default=None, help="torch resnet50 state_dict")
@@ -210,14 +212,19 @@ def main(argv: Optional[List[str]] = None) -> int:
                 f"crop size {cfg.data.crop_size} exceeds source image size "
                 f"{src_size}; pass --crop-size <= {src_size}"
             )
-        store = ByteStore(
-            idx_train, cfg.data.path_data, cfg.data.image_ext,
-            preload=cfg.data.cache_bytes_in_ram, verbose=not args.debug,
-        )
-        store_val = ByteStore(
-            idx_val, cfg.data.path_data, cfg.data.image_ext,
-            preload=cfg.data.cache_bytes_in_ram,
-        )
+        if args.pack:
+            from rxtpu.data.pack import PackStore
+
+            store = store_val = PackStore(os.path.join(args.pack, "train.rxpack"))
+        else:
+            store = ByteStore(
+                idx_train, cfg.data.path_data, cfg.data.image_ext,
+                preload=cfg.data.cache_bytes_in_ram, verbose=not args.debug,
+            )
+            store_val = ByteStore(
+                idx_val, cfg.data.path_data, cfg.data.image_ext,
+                preload=cfg.data.cache_bytes_in_ram,
+            )
         pipe_train = Pipeline(
             idx_train, store, stats, global_bs, "train", src_size,
             seed=cfg.train.seed, decoder_threads=decoder_threads,
@@ -295,10 +302,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         # per-experiment byte store, mirroring the reference's per-experiment
         # ImagesDS (main.py:176-181) so test RAM stays one experiment wide
         idx_exp = idx_test_all.for_experiment(experiment)
-        store_exp = ByteStore(
-            idx_exp, cfg.data.path_data, cfg.data.image_ext,
-            preload=cfg.data.cache_bytes_in_ram,
-        )
+        if args.pack:
+            from rxtpu.data.pack import PackStore
+
+            store_exp = PackStore(os.path.join(args.pack, "test.rxpack"))
+        else:
+            store_exp = ByteStore(
+                idx_exp, cfg.data.path_data, cfg.data.image_ext,
+                preload=cfg.data.cache_bytes_in_ram,
+            )
         pipe = Pipeline(
             idx_exp, store_exp, stats, global_bs, "test", src_size,
             decoder_threads=decoder_threads, shuffle=False, drop_last=False,

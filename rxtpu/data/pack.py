@@ -1,0 +1,137 @@
+"""rxpack: packed raw dataset format — decode-free input at pod scale.
+
+Why: at the north-star rate (thousands of 6-channel views/s/chip) the JPEG
+path needs ~18 decodes per view; libjpeg manages ~200 512^2 decodes/s/core,
+so a v5e-8 host runs out of cores long before the chips saturate. The
+literature fix (FFCV; L3, see PAPERS.md) is to pay the decode once offline
+and stream raw pixels: 6x512^2 uint8 = 1.5 MB/view reads at NVMe/page-cache
+bandwidth with ZERO decode cost, trivially holding input stall under the 2%
+target.
+
+Format: one pack per split —
+  {out}/{split}.rxpack       consecutive (C, H, W) uint8 blocks per
+                             (experiment, plate, well, site)
+  {out}/{split}.rxpack.json  {"h","w","channels","entries":{key: ordinal}}
+
+Readers memory-map the pack; batch assembly is pure memcpy. ``PackStore``
+is a drop-in for ``ByteStore`` in ``rxtpu.data.pipeline`` (the pipeline
+detects the decoded fast path via ``get_decoded``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Sequence
+
+import numpy as np
+
+from rxtpu.data.decode import decode_files
+from rxtpu.data.records import MetadataIndex, WellRecord, image_path
+
+
+def _key(experiment: str, plate: int, well: str, site: int) -> str:
+    return f"{experiment}|{plate}|{well}|{site}"
+
+
+def _all_records(index: MetadataIndex):
+    records = list(index.records)
+    records += list(index.neg_controls.values())
+    for lst in index.pos_controls.values():
+        records += lst
+    # dedupe by well identity (controls can repeat across pos lists)
+    seen, out = set(), []
+    for r in records:
+        k = (r.experiment, r.plate, r.well)
+        if k not in seen:
+            seen.add(k)
+            out.append(r)
+    return out
+
+
+def write_pack(
+    index: MetadataIndex,
+    img_dir: str,
+    out_dir: str,
+    ext: str = "jpeg",
+    channels: Sequence[int] = (1, 2, 3, 4, 5, 6),
+    src_size: int = None,
+    decoder_threads: int = 0,
+    batch_wells: int = 64,
+    verbose: bool = False,
+) -> str:
+    """Decode every (well, site) of the index once and write the pack.
+
+    Returns the pack path. Decoding runs through the native thread-pool
+    loader in batches of ``batch_wells`` wells.
+    """
+    import cv2
+
+    records = _all_records(index)
+    if src_size is None:
+        r0 = records[0]
+        probe = cv2.imread(
+            image_path(img_dir, index.split, r0.experiment, r0.plate, r0.well, 1,
+                       channels[0], ext),
+            cv2.IMREAD_GRAYSCALE,
+        )
+        src_size = probe.shape[0]
+    c, h, w = len(channels), src_size, src_size
+    plane_bytes = c * h * w
+
+    os.makedirs(out_dir, exist_ok=True)
+    pack_path = os.path.join(out_dir, f"{index.split}.rxpack")
+    entries: Dict[str, int] = {}
+    it = range(0, len(records), batch_wells)
+    if verbose:
+        from tqdm import tqdm
+
+        it = tqdm(it, desc=f"Packing {index.split}")
+    with open(pack_path, "wb") as f:
+        ordinal = 0
+        for start in it:
+            chunk = records[start : start + batch_wells]
+            paths, keys = [], []
+            for r in chunk:
+                for site in (1, 2):
+                    keys.append(_key(r.experiment, r.plate, r.well, site))
+                    for ch in channels:
+                        paths.append(
+                            image_path(img_dir, index.split, r.experiment,
+                                       r.plate, r.well, site, ch, ext)
+                        )
+            planes = decode_files(paths, h, w, nthreads=decoder_threads)
+            planes = planes.reshape(len(keys), c, h, w)
+            for k, view in zip(keys, planes):
+                entries[k] = ordinal
+                f.write(view.tobytes())
+                ordinal += 1
+    with open(pack_path + ".json", "w") as f:
+        json.dump({"h": h, "w": w, "channels": c, "entries": entries}, f)
+    return pack_path
+
+
+class PackStore:
+    """Memory-mapped reader over a pack; drop-in store for the Pipeline.
+
+    ``get_decoded(record, site)`` returns a zero-copy uint8 view
+    [C, H, W]; batch assembly is then a straight memcpy (no decode).
+    """
+
+    def __init__(self, pack_path: str):
+        with open(pack_path + ".json") as f:
+            meta = json.load(f)
+        self.h, self.w = meta["h"], meta["w"]
+        self.n_channels = meta["channels"]
+        self.channels = tuple(range(1, self.n_channels + 1))
+        self._entries = meta["entries"]
+        self._mm = np.memmap(pack_path, dtype=np.uint8, mode="r")
+        self._view_elems = self.n_channels * self.h * self.w
+        self.preloaded = True  # decoded fast path; pipeline never re-decodes
+
+    def get_decoded(self, r: WellRecord, site: int) -> np.ndarray:
+        ordinal = self._entries[_key(r.experiment, r.plate, r.well, site)]
+        off = ordinal * self._view_elems
+        return self._mm[off : off + self._view_elems].reshape(
+            self.n_channels, self.h, self.w
+        )

@@ -176,35 +176,47 @@ class Pipeline:
     def _make_batch(self, recs: List[WellRecord], rng: np.random.Generator) -> Dict[str, np.ndarray]:
         bs, g, c, s = self.batch_size, self.G, self.n_channels, self.src_size
         n_real = len(recs)
-        # streaming mode: hand file PATHS to the native loader (open/read/
-        # decode all inside the C++ thread pool); preloaded mode ships the
-        # cached compressed buffers instead.
-        streaming = not self.store.preloaded
+        # three source modes: decoded fast path (rxpack memmap, no decode at
+        # all), streaming (file paths into the native open/read/decode
+        # thread pool), preloaded (cached compressed buffers -> native decode)
+        decoded = hasattr(self.store, "get_decoded")
+        streaming = not decoded and not self.store.preloaded
         items: List = []
+        view_lists = []
         labels = np.zeros(bs, np.int32)
         exp_ids = np.zeros(bs, np.int32)
         valid = np.zeros(bs, np.float32)
         id_codes: List[str] = []
         for i in range(bs):
             r = recs[i] if i < n_real else recs[0]  # pad with sample 0, masked
-            for rec, site in self._view_keys(r, rng):
-                if streaming:
-                    items.extend(self.store.paths(rec, site))
-                else:
-                    items.extend(self.store.get(rec, site))
+            keys = self._view_keys(r, rng)
+            if decoded:
+                view_lists.append(keys)
+            else:
+                for rec, site in keys:
+                    if streaming:
+                        items.extend(self.store.paths(rec, site))
+                    else:
+                        items.extend(self.store.get(rec, site))
             labels[i] = r.sirna
             exp_ids[i] = self._exp_index[r.experiment]
             valid[i] = 1.0 if i < n_real else 0.0
             id_codes.append(r.id_code if i < n_real else "")
-        if streaming:
-            planes = decode_files(
-                items, s, s, nthreads=self.decoder_threads, use_native=self.use_native
-            )
+        if decoded:
+            images = np.empty((bs, g, c, s, s), np.uint8)
+            for i, keys in enumerate(view_lists):
+                for gi, (rec, site) in enumerate(keys):
+                    images[i, gi] = self.store.get_decoded(rec, site)
         else:
-            planes = decode_batch(
-                items, s, s, nthreads=self.decoder_threads, use_native=self.use_native
-            )
-        images = planes.reshape(bs, g, c, s, s)
+            if streaming:
+                planes = decode_files(
+                    items, s, s, nthreads=self.decoder_threads, use_native=self.use_native
+                )
+            else:
+                planes = decode_batch(
+                    items, s, s, nthreads=self.decoder_threads, use_native=self.use_native
+                )
+            images = planes.reshape(bs, g, c, s, s)
         return {
             "images": images,
             "labels": labels,

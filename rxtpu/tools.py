@@ -197,6 +197,13 @@ def main(argv=None):
     sp.add_argument("--threads", type=int, default=0)
     sp.add_argument("--verify", action="store_true")
 
+    pk = sub.add_parser("pack", help="write decode-free rxpack dataset files")
+    pk.add_argument("--data", default="data")
+    pk.add_argument("--out", default="packs")
+    pk.add_argument("--ext", default="jpeg")
+    pk.add_argument("--threads", type=int, default=0)
+    pk.add_argument("--splits", default="train,test")
+
     ib = sub.add_parser("iobench", help="host decode-throughput benchmark")
     ib.add_argument("--data", default="data")
     ib.add_argument("--ext", default="jpeg")
@@ -211,6 +218,17 @@ def main(argv=None):
     cp.add_argument("--threads", type=int, default=0)
 
     args = ap.parse_args(argv)
+    if args.cmd == "pack":
+        from rxtpu.data.pack import write_pack
+        from rxtpu.data.records import load_metadata, read_metadata_csvs
+
+        for split in args.splits.split(","):
+            df, dfc = read_metadata_csvs(os.path.join(args.data, "metadata"), split)
+            idx = load_metadata(df, dfc, split)
+            path = write_pack(idx, args.data, args.out, ext=args.ext,
+                              decoder_threads=args.threads, verbose=True)
+            print(f"wrote {path} ({os.path.getsize(path)/1e6:.1f} MB)")
+        return
     if args.cmd == "stats":
         run_stats(args.data, args.out, args.ext, args.batch, args.verify, args.threads)
     elif args.cmd == "iobench":

@@ -208,3 +208,31 @@ def test_two_site_train_mode(train_setup):
     assert batch["images"].shape == (2, 6, 6, SRC, SRC)
     # sites 1 and 2 of the sample are genuinely different images
     assert not np.array_equal(batch["images"][:, 0], batch["images"][:, 1])
+
+
+def test_rxpack_roundtrip_and_pipeline_equivalence(synthetic_root, tmp_path):
+    """Pack contents == decoded JPEGs; pipeline batches identical via pack."""
+    from rxtpu.data.pack import PackStore, write_pack
+
+    root, _ = synthetic_root
+    df, dfc = read_metadata_csvs(os.path.join(root, "metadata"), "train")
+    idx = load_metadata(df, dfc, "train")
+    pack = write_pack(idx, root, str(tmp_path / "packs"))
+    store = PackStore(pack)
+    byte_store = ByteStore(idx, root, preload=True)
+    # per-view raw equality vs native-decoded JPEG bytes
+    r = idx.records[0]
+    got = np.asarray(store.get_decoded(r, 1))
+    want = decode_batch(byte_store.get(r, 1), SRC, SRC)
+    np.testing.assert_array_equal(got, want)
+    # full pipeline batch equality (same seed -> same view draws)
+    stats = _stats_for(idx)
+    kw = dict(batch_size=4, mode="train", src_size=SRC, seed=21)
+    a = next(iter(Pipeline(idx, byte_store, stats, **kw).epoch(1)))
+    b = next(iter(Pipeline(idx, store, stats, **kw).epoch(1)))
+    np.testing.assert_array_equal(a["images"], b["images"])
+    np.testing.assert_array_equal(a["labels"], b["labels"])
+    # test-mode G=6 also works through the pack
+    t = next(iter(Pipeline(idx, store, stats, batch_size=2, mode="test",
+                           src_size=SRC).epoch(0)))
+    assert t["images"].shape == (2, 6, 6, SRC, SRC)
