@@ -100,12 +100,14 @@ def main():
                       args.warmup, args.crop, args.src)
 
     baseline = 5000.0  # BASELINE.json north star: >=5k 512^2x6ch images/s/chip
+    detail = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in r.items()}
+    detail["files_per_sec_per_chip"] = round(6 * r["ips_per_chip"], 1)  # 6 channel files/view
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip",
         "value": round(r["ips_per_chip"], 2),
         "unit": "512^2x6ch views/s/chip",
         "vs_baseline": round(r["ips_per_chip"] / baseline, 4),
-        "detail": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in r.items()},
+        "detail": detail,
     }))
 
 

@@ -36,3 +36,25 @@ def test_step_timer_stall_accounting():
     assert 5 < s["input_stall_pct"] < 45
     t.reset()
     assert t.n_steps == 0 and t.total_s == 0
+
+
+def test_profile_step_loop(tmp_path):
+    from rxtpu.utils import profile_step_loop
+
+    calls = []
+    summary = profile_step_loop(
+        lambda b: calls.append(b) or time.sleep(0.01),
+        iter(range(5)),
+        logdir=None,
+        max_steps=3,
+    )
+    assert calls == [0, 1, 2]
+    assert summary["step_time_s"] > 0.005
+    assert 0 <= summary["input_stall_pct"] <= 100
+
+
+def test_trace_context(tmp_path):
+    from rxtpu.utils import trace
+
+    with trace(str(tmp_path / "prof"), enabled=False):
+        pass  # disabled path is a no-op
