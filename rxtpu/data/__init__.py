@@ -11,3 +11,6 @@ from rxtpu.data.stats import (  # noqa: F401
     load_stats,
     save_stats,
 )
+from rxtpu.data.pipeline import ByteStore, Pipeline, device_prefetch  # noqa: F401
+from rxtpu.data.decode import decode_batch, decode_files, encode_batch_jpeg  # noqa: F401
+from rxtpu.data.pack import PackStore, write_pack  # noqa: F401
