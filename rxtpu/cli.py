@@ -69,6 +69,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--nb-classes", type=int, default=None,
                    help="override the 1108 Kaggle classes (synthetic datasets)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler device trace of the first "
+                        "training steps into board/{experiment_id}/profile")
     p.add_argument("--out-dir", default=".")
     return p
 
@@ -241,11 +244,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         state = place_state(state, mesh)
         print(f"lr: {lr}")
-        result = run_training(
+        if args.profile:
+            from rxtpu.utils import trace as profiler_trace
+            import contextlib
+
+            profile_ctx = profiler_trace(
+                os.path.join(cfg.train.board_dir, cfg.experiment_id, "profile")
+            )
+        else:
+            import contextlib
+
+            profile_ctx = contextlib.nullcontext()
+        with profile_ctx:
+            result = run_training(
             cfg, model, state, pipe_train, pipe_val,
-            base_key=jax.random.PRNGKey(cfg.train.seed), put=put,
-            resume=args.resume,
-        )
+                base_key=jax.random.PRNGKey(cfg.train.seed), put=put,
+                resume=args.resume,
+            )
         print(f"Best validation accuracy: {result.best_accuracy:.4f}")
 
     print("\n\n########## TEST ##########")
