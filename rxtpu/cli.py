@@ -49,6 +49,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained-path", default=None, help="torch resnet50 state_dict")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--val-fraction", type=float, default=None)
+    p.add_argument("--early-stopping", action="store_true",
+                   help="stop when val accuracy stalls (HYPERPARAMS['early_stopping'])")
+    p.add_argument("--patience", type=int, default=None)
+    p.add_argument("--no-scheduler", action="store_true",
+                   help="disable cosine annealing (HYPERPARAMS['scheduler'])")
+    p.add_argument("--split-by-experiment", action="store_true",
+                   help="experiment-wise val holdout (HYPERPARAMS['train_split_by_experiment'])")
     p.add_argument("--batch-size", type=int, default=None, help="per-device batch size")
     p.add_argument("--crop-size", type=int, default=None)
     p.add_argument("--two-site-train", action="store_true",
@@ -102,6 +109,14 @@ def resolve_config(args) -> "Config":
         cfg.train.nb_epochs = args.epochs
     if args.val_fraction is not None:
         cfg.train.val_fraction = args.val_fraction
+    if args.early_stopping:
+        cfg.train.early_stopping = True
+    if args.patience is not None:
+        cfg.train.patience = args.patience
+    if args.no_scheduler:
+        cfg.train.scheduler = False
+    if args.split_by_experiment:
+        cfg.train.train_split_by_experiment = True
     if args.batch_size is not None:
         cfg.train.bs_per_device = args.batch_size
         cfg.train.nb_examples = cfg.train.bs_per_device if args.debug else None
