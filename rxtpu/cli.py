@@ -275,6 +275,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             cfg, model, state, pipe_train, pipe_val,
                 base_key=jax.random.PRNGKey(cfg.train.seed), put=put,
                 resume=args.resume,
+                place_fn=lambda st: place_state(st, mesh),
             )
         print(f"Best validation accuracy: {result.best_accuracy:.4f}")
 

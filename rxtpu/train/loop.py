@@ -89,6 +89,7 @@ def run_training(
     logger: Optional[MetricLogger] = None,
     print_fn: Callable = print,
     resume: bool = False,
+    place_fn: Optional[Callable] = None,
 ) -> TrainResult:
     """Run the full epoch loop; returns final state + best metric.
 
@@ -123,6 +124,10 @@ def run_training(
         )
         ckpt.best = saved.get("best_metric")
         start_epoch = int(saved["epoch"]) + 1
+        if place_fn is not None:
+            # restore loads host arrays; re-apply the mesh shardings so the
+            # resumed state matches the compiled step's expectations
+            state = place_fn(state)
         print_fn(f"Resumed from epoch {saved['epoch']} (step {int(saved['step'])})")
 
     def checkpoint_payload(st: TrainState) -> Dict:

@@ -168,3 +168,43 @@ def test_run_training_on_mesh_with_pipeline(eight_cpu_devices, synthetic_root, t
     assert os.path.exists(cfg.checkpoint_path)
     # per-device shards saw 1/8 of each batch
     assert len(jax.devices()) == 8
+
+
+def test_resume_replaces_state_on_mesh(eight_cpu_devices, tmp_path):
+    """Resuming under a mesh re-places restored host arrays with the mesh
+    shardings (place_fn hook)."""
+    import os
+
+    from rxtpu.train import run_training
+    from rxtpu.train.checkpoint import save_checkpoint
+    from rxtpu.train.loop import last_checkpoint_path
+
+    cfg = _cfg()
+    cfg.train.nb_epochs = 1
+    cfg.train.checkpoint_dir = str(tmp_path / "m")
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    save_checkpoint(last_checkpoint_path(cfg), {
+        "params": state.params, "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state, "step": state.step,
+        "epoch": 1, "best_metric": 0.5,
+    })
+    mesh = make_mesh(n_devices=8)
+    placed = []
+
+    class NoPipe:
+        def epoch(self, e):
+            return iter([])
+        def __len__(self):
+            return 0
+
+    res = run_training(
+        cfg, model, place_state(state, mesh), NoPipe(), NoPipe(),
+        base_key=jax.random.PRNGKey(0), put=make_put(mesh),
+        print_fn=lambda *a: None, resume=True,
+        place_fn=lambda st: (placed.append(True), place_state(st, mesh))[1],
+    )
+    assert placed == [True]
+    # restored params carry mesh sharding (replicated over 8 devices)
+    leaf = jax.tree_util.tree_leaves(res.state.params)[0]
+    assert len(leaf.addressable_shards) == 8
