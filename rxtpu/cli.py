@@ -76,6 +76,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--nb-classes", type=int, default=None,
                    help="override the 1108 Kaggle classes (synthetic datasets)")
+    p.add_argument("--checkpoint-backend", default="pickle",
+                   choices=["pickle", "orbax"])
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler device trace of the first "
                         "training steps into board/{experiment_id}/profile")
@@ -117,6 +119,7 @@ def resolve_config(args) -> "Config":
         cfg.train.scheduler = False
     if args.split_by_experiment:
         cfg.train.train_split_by_experiment = True
+    cfg.train.checkpoint_backend = args.checkpoint_backend
     if args.batch_size is not None:
         cfg.train.bs_per_device = args.batch_size
         cfg.train.nb_examples = cfg.train.bs_per_device if args.debug else None

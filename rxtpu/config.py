@@ -80,6 +80,7 @@ class TrainConfig:
     freeze_head_only_epochs: int = 2         # epochs 1-2 head-only when pretrained (train.py:46-67)
     augment_backend: str = "shear"           # "shear" (TPU-fast) | "gather" (exact warp)
     log_every_steps: int = 50
+    checkpoint_backend: str = "pickle"       # "pickle" | "orbax" (pod-scale)
     checkpoint_dir: str = "models"
     board_dir: str = "board"
 

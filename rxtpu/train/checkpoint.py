@@ -22,8 +22,11 @@ def _to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
-    """Atomic single-file checkpoint (host numpy pickle of the pytree)."""
+def save_checkpoint(path: str, payload: Dict[str, Any], backend: str = "pickle") -> None:
+    """Checkpoint the pytree: atomic single-file pickle (default) or orbax."""
+    if backend == "orbax":
+        save_checkpoint_orbax(path, payload)
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -31,7 +34,10 @@ def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str) -> Dict[str, Any]:
+def load_checkpoint(path: str, backend: str = "auto") -> Dict[str, Any]:
+    """Load a checkpoint; 'auto' detects orbax directories vs pickle files."""
+    if backend == "orbax" or (backend == "auto" and os.path.isdir(path)):
+        return load_checkpoint_orbax(path)
     with open(path, "rb") as f:
         return pickle.load(f)
 
@@ -72,8 +78,9 @@ class BestCheckpointer:
     (first call always saves, matching the epoch-0 behavior of train.py:88).
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, backend: str = "pickle"):
         self.path = path
+        self.backend = backend
         self.best: Optional[float] = None
 
     def update(self, metric: float, payload: Dict[str, Any]) -> bool:
@@ -81,6 +88,6 @@ class BestCheckpointer:
             self.best = float(metric)
             payload = dict(payload)
             payload["best_metric"] = self.best
-            save_checkpoint(self.path, payload)
+            save_checkpoint(self.path, payload, backend=self.backend)
             return True
         return False

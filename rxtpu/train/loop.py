@@ -103,7 +103,7 @@ def run_training(
     crop = cfg.data.crop_size
     train_step = make_train_step(model, crop, augment=cfg.train.augment_backend)
     eval_step = make_eval_step(model, crop)
-    ckpt = BestCheckpointer(cfg.checkpoint_path)
+    ckpt = BestCheckpointer(cfg.checkpoint_path, backend=cfg.train.checkpoint_backend)
     timer = StepTimer()
     history = []
     epoch = 0
@@ -197,6 +197,7 @@ def run_training(
                 last_path,
                 {**checkpoint_payload(state), "epoch": epoch,
                  "best_metric": ckpt.best},
+                backend=cfg.train.checkpoint_backend,
             )
 
             # EarlyStopping(patience) on val accuracy (train.py:74-80)
