@@ -167,3 +167,23 @@ def test_cli_pretrained_path_ports_torch_weights(e2e_root, monkeypatch, tmp_path
 
     want = stem_kernel_from_rgb(np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_cli_with_rxpack(e2e_root, monkeypatch):
+    """Full CLI flow through the decode-free rxpack input path."""
+    root, manifest = e2e_root
+    monkeypatch.chdir(root)
+    from rxtpu.tools import main as tools_main
+
+    tools_main(["pack", "--data", "data", "--out", "packs"])
+    rc = cli_main([
+        "--debug", "--experiment_id", "e2epack", "--nb-classes", "4",
+        "--epochs", "1", "--crop-size", "32", "--experiment-types", "0",
+        "--pack", "packs",
+    ])
+    assert rc == 0
+    sub = pd.read_csv("submission_e2epack.csv")
+    assert len(sub) == len(manifest["test"])
+    pg = manifest["plate_groups"]
+    for r in sub.itertuples():
+        assert pg[r.sirna, 0] == int(r.id_code.split("_")[1])
