@@ -60,7 +60,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--crop-size", type=int, default=None)
     p.add_argument("--two-site-train", action="store_true",
                    help="train with both sites per view group (config 3)")
-    p.add_argument("--tta", default="none", choices=["none", "flips"])
+    p.add_argument("--tta", default="none", choices=["none", "flips", "dihedral"])
     p.add_argument("--tta-average", default="probs", choices=["probs", "logits"])
     p.add_argument("--calibrate", action="store_true",
                    help="neg-control embedding calibration in the head (config 4)")
@@ -156,7 +156,15 @@ def _load_or_compute_stats(cfg):
     return run_stats(cfg.data.path_data, out, ext=cfg.data.image_ext)
 
 
-def _probe_src_size(cfg, index) -> int:
+def _probe_src_size(cfg, index, pack: Optional[str] = None) -> int:
+    # pack-only deployments (only .rxpack files shipped to the pod host)
+    # must not touch the original image tree: the pack metadata already
+    # records the source geometry
+    if pack:
+        import json
+
+        with open(os.path.join(pack, f"{index.split}.rxpack.json")) as f:
+            return int(json.load(f)["h"])
     from rxtpu.data.records import image_path
     import cv2
 
@@ -226,7 +234,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         idx_train = load_metadata(df_train, df_controls, "train")
         idx_val = load_metadata(df_val, df_controls, "train")
-        src_size = _probe_src_size(cfg, idx_train)
+        src_size = _probe_src_size(cfg, idx_train, pack=args.pack)
         cfg.data.src_size = src_size
         if cfg.data.crop_size > src_size:
             raise SystemExit(
@@ -329,7 +337,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         assert len(experiment_types) == len(experiments)  # main.py:172-173
 
     idx_test_all = load_metadata(df_test, df_controls_test, "test")
-    src_size = _probe_src_size(cfg, idx_test_all)
+    src_size = _probe_src_size(cfg, idx_test_all, pack=args.pack)
 
     all_preds = []
     for i, experiment in enumerate(experiments):

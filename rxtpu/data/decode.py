@@ -28,9 +28,44 @@ _lib: Optional[ctypes.CDLL] = None
 _native_failed = False
 
 
+def _host_fingerprint() -> str:
+    """CPU identity for the compiled .so: -march=native binaries are only
+    valid on the CPU family that built them (a foreign binary can SIGILL,
+    which ctypes cannot catch)."""
+    import platform
+
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    parts.append(line.strip())
+                    if len(parts) >= 3:
+                        break
+    except OSError:
+        pass
+    import hashlib
+
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
 def _build_native() -> None:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB, "-ljpeg", "-lpthread"]
     subprocess.run(cmd, check=True, capture_output=True)
+    with open(_LIB + ".arch", "w") as f:
+        f.write(_host_fingerprint())
+
+
+def _needs_rebuild() -> bool:
+    if not os.path.exists(_LIB):
+        return True
+    if os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        return True
+    arch = _LIB + ".arch"
+    if not os.path.exists(arch):
+        return True  # foreign/unstamped binary: never load it
+    with open(arch) as f:
+        return f.read().strip() != _host_fingerprint()
 
 
 def get_native_lib(rebuild: bool = False) -> Optional[ctypes.CDLL]:
@@ -41,7 +76,7 @@ def get_native_lib(rebuild: bool = False) -> Optional[ctypes.CDLL]:
     if _native_failed and not rebuild:
         return None
     try:
-        if rebuild or not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        if rebuild or _needs_rebuild():
             _build_native()
         lib = ctypes.CDLL(_LIB)
         lib.rxtpu_decode_batch.restype = ctypes.c_int
@@ -126,12 +161,15 @@ def decode_files(
     nthreads: int = 0,
     use_native: bool = True,
     out: Optional[np.ndarray] = None,
+    strict: bool = False,
 ) -> np.ndarray:
     """Read + decode grayscale JPEG files to uint8 [N, H, W].
 
     The native path runs open/read/decode entirely inside the C++ thread
     pool (streaming mode — no Python per-file IO). Non-JPEG sources or a
-    missing native lib fall back to cv2.imread.
+    missing native lib fall back to cv2.imread. Failed files decode to
+    zeros; ``strict=True`` raises instead (reference crash-on-corrupt
+    parity, dataloader.py:141-146).
     """
     n = len(paths)
     if out is None:
@@ -143,20 +181,24 @@ def decode_files(
     if lib is None or not is_jpeg:
         import cv2
 
+        failures = 0
         for i, p in enumerate(paths):
             img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
             if img is None or img.shape != out.shape[1:]:
                 out[i] = 0
+                failures += 1
             else:
                 out[i] = img
-        return out
-    blob = b"\0".join(p.encode() for p in paths) + b"\0"
-    offsets = np.zeros(n, dtype=np.int64)
-    lens = np.array([len(p.encode()) + 1 for p in paths], dtype=np.int64)
-    np.cumsum(lens[:-1], out=offsets[1:])
-    lib.rxtpu_decode_files(
-        blob, offsets.ctypes.data, n, out.ctypes.data, height, width, nthreads
-    )
+    else:
+        blob = b"\0".join(p.encode() for p in paths) + b"\0"
+        offsets = np.zeros(n, dtype=np.int64)
+        lens = np.array([len(p.encode()) + 1 for p in paths], dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        failures = lib.rxtpu_decode_files(
+            blob, offsets.ctypes.data, n, out.ctypes.data, height, width, nthreads
+        )
+    if strict and failures:
+        raise ValueError(f"{failures}/{n} files failed to read/decode")
     return out
 
 

@@ -208,13 +208,17 @@ class Pipeline:
                 for gi, (rec, site) in enumerate(keys):
                     images[i, gi] = self.store.get_decoded(rec, site)
         else:
+            # strict: corrupt/missing files must fail loudly (the reference
+            # crashes on them; silent all-zero planes would poison training)
             if streaming:
                 planes = decode_files(
-                    items, s, s, nthreads=self.decoder_threads, use_native=self.use_native
+                    items, s, s, nthreads=self.decoder_threads,
+                    use_native=self.use_native, strict=True,
                 )
             else:
                 planes = decode_batch(
-                    items, s, s, nthreads=self.decoder_threads, use_native=self.use_native
+                    items, s, s, nthreads=self.decoder_threads,
+                    use_native=self.use_native, strict=True,
                 )
             images = planes.reshape(bs, g, c, s, s)
         return {
@@ -246,15 +250,27 @@ class Pipeline:
         q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch_depth))
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # bounded put that re-checks stop: an abandoned consumer must
+            # not leave the producer blocked forever on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for recs in batches_recs:
                     if stop.is_set():
                         return
-                    q.put(self._make_batch(recs, rng))
-                q.put(None)
+                    if not put_or_stop(self._make_batch(recs, rng)):
+                        return
+                put_or_stop(None)
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                put_or_stop(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

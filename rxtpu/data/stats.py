@@ -29,21 +29,22 @@ import numpy as np
 NB_CHANNELS = 6
 
 
-@functools.partial(jax.jit, static_argnames=("n_buckets",), donate_argnums=(1,))
-def _accumulate(
-    images: jax.Array,        # uint8 [N, H, W]
-    acc: jax.Array,           # f64-ish f32 [n_buckets, 3] (count, sum_x, sum_x2)
-    bucket_ids: jax.Array,    # int32 [N] = experiment_id * 6 + channel_id
-    valid: jax.Array,         # bool [N] padding mask
-    n_buckets: int,
-) -> jax.Array:
-    x = images.astype(jnp.float32) * (1.0 / 255.0)
-    npix = np.prod(images.shape[1:]).astype(np.float32)
-    sum_x = jnp.sum(x, axis=(1, 2)) * valid
-    sum_x2 = jnp.sum(x * x, axis=(1, 2)) * valid
-    count = jnp.full(images.shape[0], npix) * valid
-    per_img = jnp.stack([count, sum_x, sum_x2], axis=-1)  # [N, 3]
-    return acc + jax.ops.segment_sum(per_img, bucket_ids, num_segments=n_buckets)
+# Pixels per device-side partial sum. 256 uint8 pixels bound the chunk sums
+# by 256*255^2 < 2^24, so the int32->f32-free integer arithmetic below is
+# EXACT; all lossy accumulation happens in f64 on the host.
+_CHUNK = 256
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunks",))
+def _partial_sums(images: jax.Array, n_chunks: int) -> jax.Array:
+    """uint8 [N, H, W] -> int32 [N, n_chunks, 2] exact (sum_v, sum_v2) chunks."""
+    n = images.shape[0]
+    v = images.reshape(n, -1).astype(jnp.int32)
+    pad = n_chunks * _CHUNK - v.shape[1]
+    if pad:
+        v = jnp.pad(v, ((0, 0), (0, pad)))  # zero pixels add nothing
+    v = v.reshape(n, n_chunks, _CHUNK)
+    return jnp.stack([v.sum(-1), (v * v).sum(-1)], axis=-1)
 
 
 def compute_stats_streaming(
@@ -60,23 +61,29 @@ def compute_stats_streaming(
 
     Returns ``{experiment: {"mean": [6], "std": [6]}}`` (float64 on host),
     matching the reference pickle's schema (compute_stats_experiments.py:38-41).
+
+    Precision: the device computes exact integer chunk sums (see ``_CHUNK``);
+    cross-image accumulation is int64/f64 on the host. At Kaggle scale
+    (~5e9 pixels per bucket) a pure-f32 device accumulator would lose the
+    low digits of sum(x^2) and the ``sqrt(E[x^2]-E[x]^2)`` subtraction would
+    cancel catastrophically — this path instead matches the reference's f64
+    host accumulation (compute_stats_experiments.py:8-24) to ~1e-15.
     """
     n_buckets = len(experiments) * NB_CHANNELS
-    acc = jnp.zeros((n_buckets, 3), dtype=jnp.float32)
+    acc = np.zeros((n_buckets, 3), dtype=np.float64)  # count, sum_x, sum_x2
     for images, bucket_ids in batches:
         valid = bucket_ids >= 0
-        safe_ids = np.where(valid, bucket_ids, 0).astype(np.int32)
-        acc = _accumulate(
-            jnp.asarray(images),
-            acc,
-            jnp.asarray(safe_ids),
-            jnp.asarray(valid.astype(np.float32)),
-            n_buckets,
-        )
-    acc_host = np.asarray(acc, dtype=np.float64)  # [n_buckets, 3]
-    count = acc_host[:, 0].reshape(len(experiments), NB_CHANNELS)
-    sum_x = acc_host[:, 1].reshape(len(experiments), NB_CHANNELS)
-    sum_x2 = acc_host[:, 2].reshape(len(experiments), NB_CHANNELS)
+        npix = int(np.prod(images.shape[1:]))
+        n_chunks = -(-npix // _CHUNK)
+        parts = np.asarray(_partial_sums(jnp.asarray(images), n_chunks))
+        per_img = parts.astype(np.int64).sum(axis=1)  # [N, 2] exact
+        ids = bucket_ids[valid]
+        np.add.at(acc[:, 0], ids, float(npix))
+        np.add.at(acc[:, 1], ids, per_img[valid, 0] / 255.0)
+        np.add.at(acc[:, 2], ids, per_img[valid, 1] / (255.0 * 255.0))
+    count = acc[:, 0].reshape(len(experiments), NB_CHANNELS)
+    sum_x = acc[:, 1].reshape(len(experiments), NB_CHANNELS)
+    sum_x2 = acc[:, 2].reshape(len(experiments), NB_CHANNELS)
     out: Dict[str, Dict[str, np.ndarray]] = {}
     with np.errstate(invalid="ignore", divide="ignore"):
         for i, exp in enumerate(experiments):

@@ -27,6 +27,11 @@ _TTA_VARIANTS: Dict[str, Callable[[jnp.ndarray], jnp.ndarray]] = {
     "hflip": lambda v: v[:, :, :, ::-1, :],
     "vflip": lambda v: v[:, :, ::-1, :, :],
     "rot180": lambda v: v[:, :, ::-1, ::-1, :],
+    # square center crops, so the 90-degree rotations are valid variants too
+    "rot90": lambda v: v.swapaxes(2, 3)[:, :, ::-1, :, :],
+    "rot270": lambda v: v.swapaxes(2, 3)[:, :, :, ::-1, :],
+    "transpose": lambda v: v.swapaxes(2, 3),
+    "anti_transpose": lambda v: v.swapaxes(2, 3)[:, :, ::-1, ::-1, :],
 }
 
 
@@ -43,6 +48,10 @@ def make_tta_predict_step(
         variants = ["identity"]
     elif tta == "flips":
         variants = ["identity", "hflip", "vflip", "rot180"]
+    elif tta == "dihedral":
+        # the full 8-element group the train augmentation samples from
+        variants = ["identity", "hflip", "vflip", "rot180", "rot90", "rot270",
+                    "transpose", "anti_transpose"]
     else:
         raise ValueError(f"unknown tta mode {tta!r}")
     if average not in ("probs", "logits"):

@@ -36,12 +36,34 @@ def place_state(state: TrainState, mesh: Mesh) -> TrainState:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated), tree)
 
     params = jax.tree_util.tree_map(jax.device_put, state.params, p_shard)
-    # optimizer state mirrors param structure per transform; momentum buffers
-    # should live with their params
-    def put_opt(x):
+
+    # Optimizer buffers that mirror the param tree (the SGD momentum trace)
+    # live WITH their params: under TP the head kernels' momentum is sharded
+    # identically, so the update step needs no per-step reshard. Leaves are
+    # matched by param path suffix (optax state paths end with the param
+    # path, e.g. [..., 'trace', 'head', 'dense', 'kernel']).
+    shapes = {
+        tuple(str(k) for k in path): getattr(v, "shape", None)
+        for path, v in jax.tree_util.tree_flatten_with_path(state.params)[0]
+    }
+    by_path = {
+        tuple(str(k) for k in path): s
+        for path, s in jax.tree_util.tree_flatten_with_path(p_shard)[0]
+    }
+    suffix_lens = {len(p) for p in by_path}
+
+    def put_opt(path, x):
+        keys = tuple(str(k) for k in path)
+        for n in sorted(suffix_lens, reverse=True):
+            if len(keys) < n:
+                continue
+            suffix = keys[-n:]
+            s = by_path.get(suffix)
+            if s is not None and shapes.get(suffix) == getattr(x, "shape", None):
+                return jax.device_put(x, s)
         return jax.device_put(x, replicated)
 
-    opt_state = jax.tree_util.tree_map(put_opt, state.opt_state)
+    opt_state = jax.tree_util.tree_map_with_path(put_opt, state.opt_state)
     return state.replace(
         step=jax.device_put(state.step, replicated),
         params=params,

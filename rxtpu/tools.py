@@ -80,7 +80,7 @@ def _stats_batches(
             ids[j] = bucket
         while len(bufs) < batch:
             bufs.append(bufs[0])  # pad (masked by id == -1)
-        images = decode_batch(bufs, size, size, nthreads=nthreads)
+        images = decode_batch(bufs, size, size, nthreads=nthreads, strict=True)
         yield images, ids
 
 

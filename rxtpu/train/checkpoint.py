@@ -53,22 +53,37 @@ def checkpoint_exists(path: str) -> bool:
 # ---------------------------------------------------------------------------
 
 def save_checkpoint_orbax(path: str, payload: Dict[str, Any]) -> None:
+    """Atomic directory swap (same discipline as the pickle tmp+rename):
+    save to ``path.tmp``, demote any existing checkpoint to ``path.old``,
+    promote tmp. A crash at any point leaves at least one complete
+    checkpoint on disk (``path`` or ``path.old``), which the loader finds."""
+    import shutil
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    tmp, old = path + ".tmp", path + ".old"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     with ocp.StandardCheckpointer() as ckptr:
-        if os.path.exists(path):
-            import shutil
-
-            shutil.rmtree(path)
-        ckptr.save(path, _to_host(payload))
+        ckptr.save(tmp, _to_host(payload))
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.replace(path, old)
+    os.replace(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def load_checkpoint_orbax(path: str) -> Dict[str, Any]:
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)
+    if not os.path.exists(path) and os.path.exists(path + ".old"):
+        path = path + ".old"  # crash mid-swap: the demoted copy is complete
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(path))
+        return ckptr.restore(path)
 
 
 class BestCheckpointer:

@@ -123,6 +123,7 @@ def run_training(
             opt_state=saved["opt_state"],
         )
         ckpt.best = saved.get("best_metric")
+        epochs_without_improvement = int(saved.get("epochs_without_improvement", 0))
         start_epoch = int(saved["epoch"]) + 1
         if place_fn is not None:
             # restore loads host arrays; re-apply the mesh shardings so the
@@ -183,7 +184,8 @@ def run_training(
             logger.log(int(state.step), timer.summary(), prefix="perf")
 
             val_m = evaluate(eval_step, state, val_pipe, put)
-            if ckpt.update(val_m["accuracy"], checkpoint_payload(state)):
+            improved = ckpt.update(val_m["accuracy"], checkpoint_payload(state))
+            if improved:
                 print_fn(f"New best accuracy! Accuracy: {val_m['accuracy']}\nModel saved!")
             print_fn(
                 f"Validation Results - Epoch: {epoch} Average Loss: {val_m['loss']:.4f} "
@@ -192,19 +194,23 @@ def run_training(
             logger.log(int(state.step), val_m, prefix="validation")
             history.append({"epoch": epoch, **val_m, **timer.summary()})
 
+            # EarlyStopping(patience) on val accuracy (train.py:74-80).
+            # ignite counts a TIE as no improvement — only strict improvement
+            # (the checkpointer's own criterion) resets the counter.
+            if improved:
+                epochs_without_improvement = 0
+            else:
+                epochs_without_improvement += 1
+
             # rolling full-state checkpoint for mid-training resume
             save_checkpoint(
                 last_path,
                 {**checkpoint_payload(state), "epoch": epoch,
-                 "best_metric": ckpt.best},
+                 "best_metric": ckpt.best,
+                 "epochs_without_improvement": epochs_without_improvement},
                 backend=cfg.train.checkpoint_backend,
             )
 
-            # EarlyStopping(patience) on val accuracy (train.py:74-80)
-            if val_m["accuracy"] >= (ckpt.best or 0.0):
-                epochs_without_improvement = 0
-            else:
-                epochs_without_improvement += 1
             if cfg.train.early_stopping and epochs_without_improvement >= cfg.train.patience:
                 print_fn(f"EarlyStopping: stop after {epoch} epochs")
                 break

@@ -7,10 +7,15 @@ Parity targets:
   (train.py:104-112): the schedule below is a function of the global step but
   quantizes to epoch granularity to match the reference exactly.
 - Progressive unfreezing (train.py:46-67): epochs 1-2 train only the head
-  when pretrained, epoch 3+ everything. Implemented as an update mask applied
-  AFTER the full optax transform, so frozen params receive no momentum or
-  weight-decay drift (torch ``requires_grad=False`` semantics). The mask flag
-  is a traced scalar: one compiled step serves both phases.
+  when pretrained, epoch 3+ everything. Implemented as a mask applied to the
+  (grad + wd*param) INPUT of the optimizer, so frozen params feed exactly
+  zero into the momentum trace — torch skips params with ``p.grad is None``
+  entirely, leaving their momentum buffers at zero, and a zeroed input
+  reproduces that (the trace starts at zero and stays there). Weight decay
+  is therefore applied here, masked, rather than via an unconditional
+  ``optax.add_decayed_weights`` in the chain (which would leak wd*param
+  into frozen params' momentum). The mask flag is a traced scalar: one
+  compiled step serves both phases.
 """
 
 from __future__ import annotations
@@ -36,22 +41,55 @@ def cosine_epoch_schedule(
     return schedule
 
 
+def make_schedule(
+    lr: float, nb_epochs: int, steps_per_epoch: int, use_scheduler: bool = True
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """The step->lr function, also used to log the lr (train.py:128-134)."""
+    if use_scheduler:
+        return cosine_epoch_schedule(lr, nb_epochs, max(1, steps_per_epoch))
+    return lambda step: jnp.asarray(lr, jnp.float32)
+
+
 def make_optimizer(
     lr: float,
     nb_epochs: int,
     steps_per_epoch: int,
     momentum: float = 0.9,
     nesterov: bool = True,
-    weight_decay: float = 3e-5,
     use_scheduler: bool = True,
+    schedule: Any = None,
 ) -> optax.GradientTransformation:
-    if use_scheduler:
-        schedule: Any = cosine_epoch_schedule(lr, nb_epochs, max(1, steps_per_epoch))
-    else:
-        schedule = lr
-    return optax.chain(
-        optax.add_decayed_weights(weight_decay),
-        optax.sgd(learning_rate=schedule, momentum=momentum, nesterov=nesterov),
+    """SGD/nesterov on a (possibly scheduled) lr.
+
+    Weight decay is NOT in this chain: the train step adds ``wd * param`` to
+    the gradient under the freeze mask (see ``masked_grads_with_wd``), which
+    matches torch's coupled SGD weight decay (d_p = g + wd*p before the
+    momentum buffer) while keeping frozen params' buffers untouched.
+    """
+    if schedule is None:
+        schedule = make_schedule(lr, nb_epochs, steps_per_epoch, use_scheduler)
+    return optax.sgd(learning_rate=schedule, momentum=momentum, nesterov=nesterov)
+
+
+def masked_grads_with_wd(
+    grads: Any, params: Any, mask: Any, backbone_trainable: jnp.ndarray,
+    weight_decay: float,
+) -> Any:
+    """(grad + wd*param) where trainable, exactly zero where frozen.
+
+    Zero input keeps the frozen params' momentum trace at its initial zero,
+    reproducing torch's skip-None-grads behavior (torch.optim.SGD with
+    requires_grad=False params, reference train.py:46-67 + main.py:89-93).
+    """
+    return jax.tree_util.tree_map(
+        lambda g, p, m: jnp.where(
+            jnp.logical_or(backbone_trainable, m),
+            g + weight_decay * p.astype(g.dtype),
+            jnp.zeros_like(g),
+        ),
+        grads,
+        params,
+        mask,
     )
 
 

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from rxtpu.config import Config, resolve_lr
 from rxtpu.models import TwoSitesNN
-from rxtpu.train.optim import head_only_mask, make_optimizer
+from rxtpu.train.optim import head_only_mask, make_optimizer, make_schedule
 from rxtpu.train.step import TrainState
 
 
@@ -68,19 +68,24 @@ def create_train_state(
         )
 
     lr = resolve_lr(cfg, n_devices)
+    schedule = make_schedule(
+        lr, cfg.train.nb_epochs, steps_per_epoch, cfg.train.scheduler
+    )
     tx = make_optimizer(
         lr=lr,
         nb_epochs=cfg.train.nb_epochs,
         steps_per_epoch=steps_per_epoch,
         momentum=cfg.train.momentum,
         nesterov=cfg.train.nesterov,
-        weight_decay=cfg.train.weight_decay,
         use_scheduler=cfg.train.scheduler,
+        schedule=schedule,
     )
     state = TrainState.create(
         params=params,
         batch_stats=batch_stats,
         tx=tx,
         freeze_mask=head_only_mask(params),
+        weight_decay=cfg.train.weight_decay,
+        lr_schedule=schedule,
     )
     return state, lr

@@ -25,7 +25,7 @@ import optax
 from flax import struct
 
 from rxtpu.ops import eval_batch_normalize, get_augment_fn
-from rxtpu.train.optim import apply_freeze_mask
+from rxtpu.train.optim import apply_freeze_mask, masked_grads_with_wd
 
 
 class TrainState(struct.PyTreeNode):
@@ -35,9 +35,15 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     freeze_mask: Any = None
+    # coupled SGD weight decay, applied masked in the step (see
+    # rxtpu.train.optim.masked_grads_with_wd)
+    weight_decay: float = struct.field(pytree_node=False, default=0.0)
+    # step -> lr, for per-step lr logging (reference train.py:128-134)
+    lr_schedule: Any = struct.field(pytree_node=False, default=None)
 
     @classmethod
-    def create(cls, params, batch_stats, tx, freeze_mask):
+    def create(cls, params, batch_stats, tx, freeze_mask,
+               weight_decay=0.0, lr_schedule=None):
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -45,6 +51,8 @@ class TrainState(struct.PyTreeNode):
             opt_state=tx.init(params),
             tx=tx,
             freeze_mask=freeze_mask,
+            weight_decay=weight_decay,
+            lr_schedule=lr_schedule,
         )
 
 
@@ -98,21 +106,37 @@ def make_train_step(
         (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        # freeze + weight decay applied to the optimizer INPUT so frozen
+        # params' momentum buffers stay at zero (torch requires_grad=False
+        # semantics; see rxtpu.train.optim)
+        grads_in = masked_grads_with_wd(
+            grads, state.params, state.freeze_mask, backbone_trainable,
+            state.weight_decay,
+        )
+        updates, new_opt_state = state.tx.update(grads_in, state.opt_state, state.params)
         updates = apply_freeze_mask(updates, state.freeze_mask, backbone_trainable)
         new_params = optax.apply_updates(state.params, updates)
-        gsq = sum(
-            jnp.sum(jnp.square(g.astype(jnp.float32)))
-            for g in jax.tree_util.tree_leaves(grads)
-        )
+
+        def _gsq(tree):
+            return sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree_util.tree_leaves(tree)
+            )
+
         metrics = {
             "loss": loss,
             "accuracy": (jnp.argmax(logits, -1) == batch["labels"]).mean(),
-            # global gradient norm (the reference logged per-epoch gradient
-            # histograms, train.py:136-138; a scalar norm is the SPMD-cheap
-            # equivalent)
-            "grad_norm": jnp.sqrt(gsq),
+            # the reference logged per-epoch gradient histograms
+            # (train.py:136-138); global + per-top-level-module norms are the
+            # SPMD-cheap equivalent with the same diagnostic intent
+            "grad_norm": jnp.sqrt(_gsq(grads)),
         }
+        if isinstance(state.params, dict) and len(state.params) > 1:
+            for top, sub in state.params.items():
+                metrics[f"grad_norm/{top}"] = jnp.sqrt(_gsq(grads[top]))
+        if state.lr_schedule is not None:
+            # lr the optimizer used for THIS step (train.py:128-134 parity)
+            metrics["lr"] = state.lr_schedule(state.step)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,

