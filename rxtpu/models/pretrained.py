@@ -141,6 +141,106 @@ def _port_torch_resnet(
     return to_jnp(params), to_jnp(batch_stats)
 
 
+_DENSENET121_BLOCKS = [6, 12, 24, 16]
+
+
+def port_torch_densenet121(
+    sd: Dict[str, np.ndarray],
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    backbone_scope: str = "backbone",
+    nb_channels: int = 6,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Copy a torchvision densenet121 state_dict into the Flax trees.
+
+    Generalizes the reference's pretrained capability (models.py:16,
+    ``pretrained=True``) to the densenet backbone it also offers. Mapping
+    (torch -> flax under ``params[backbone_scope]``):
+      features.conv0                     -> conv_init (6-channel stem rule)
+      features.norm0                     -> bn_init
+      features.denseblock{B}.denselayer{L}.norm1/conv1/norm2/conv2
+          -> block{B}_layer{L}.BatchNorm_0/Conv_0/BatchNorm_1/Conv_1
+      features.transition{T}.norm/conv   -> transition{T}.BatchNorm_0/Conv_0
+      features.norm5                     -> bn_final
+    """
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+    p = params[backbone_scope]
+    bs = batch_stats[backbone_scope]
+
+    def set_conv(dst: Dict[str, Any], torch_key: str):
+        dst["kernel"] = _conv_oihw_to_hwio(sd[torch_key]).astype(dst["kernel"].dtype)
+
+    def set_bn(dst_p: Dict[str, Any], dst_s: Dict[str, Any], torch_prefix: str):
+        dst_p["scale"] = sd[f"{torch_prefix}.weight"].astype(dst_p["scale"].dtype)
+        dst_p["bias"] = sd[f"{torch_prefix}.bias"].astype(dst_p["bias"].dtype)
+        dst_s["mean"] = sd[f"{torch_prefix}.running_mean"].astype(dst_s["mean"].dtype)
+        dst_s["var"] = sd[f"{torch_prefix}.running_var"].astype(dst_s["var"].dtype)
+
+    rgb = _conv_oihw_to_hwio(sd["features.conv0.weight"])
+    p["conv_init"]["kernel"] = stem_kernel_from_rgb(rgb, nb_channels).astype(
+        p["conv_init"]["kernel"].dtype
+    )
+    set_bn(p["bn_init"], bs["bn_init"], "features.norm0")
+
+    for b, n_layers in enumerate(_DENSENET121_BLOCKS, start=1):
+        for l in range(1, n_layers + 1):
+            scope = f"block{b}_layer{l}"
+            tp = f"features.denseblock{b}.denselayer{l}"
+            set_bn(p[scope]["BatchNorm_0"], bs[scope]["BatchNorm_0"], f"{tp}.norm1")
+            set_conv(p[scope]["Conv_0"], f"{tp}.conv1.weight")
+            set_bn(p[scope]["BatchNorm_1"], bs[scope]["BatchNorm_1"], f"{tp}.norm2")
+            set_conv(p[scope]["Conv_1"], f"{tp}.conv2.weight")
+        if b < len(_DENSENET121_BLOCKS):
+            scope = f"transition{b}"
+            tp = f"features.transition{b}"
+            set_bn(p[scope]["BatchNorm_0"], bs[scope]["BatchNorm_0"], f"{tp}.norm")
+            set_conv(p[scope]["Conv_0"], f"{tp}.conv.weight")
+    set_bn(p["bn_final"], bs["bn_final"], "features.norm5")
+
+    params[backbone_scope] = p
+    batch_stats[backbone_scope] = bs
+    return params, batch_stats
+
+
+def synthetic_densenet121_state_dict(seed: int = 0) -> Dict[str, np.ndarray]:
+    """Random torch-format densenet121 state_dict (for tests/fixtures)."""
+    growth, init_feats = 32, 64
+    rng = np.random.default_rng(seed)
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv(key, o, i, k):
+        sd[key] = rng.normal(0, 0.05, size=(o, i, k, k)).astype(np.float32)
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = rng.normal(1, 0.02, size=(c,)).astype(np.float32)
+        sd[f"{prefix}.bias"] = rng.normal(0, 0.02, size=(c,)).astype(np.float32)
+        sd[f"{prefix}.running_mean"] = rng.normal(0, 0.02, size=(c,)).astype(np.float32)
+        sd[f"{prefix}.running_var"] = np.abs(rng.normal(1, 0.02, size=(c,))).astype(np.float32)
+
+    conv("features.conv0.weight", init_feats, 3, 7)
+    bn("features.norm0", init_feats)
+    feats = init_feats
+    for b, n_layers in enumerate(_DENSENET121_BLOCKS, start=1):
+        for l in range(1, n_layers + 1):
+            tp = f"features.denseblock{b}.denselayer{l}"
+            bn(f"{tp}.norm1", feats)
+            conv(f"{tp}.conv1.weight", 4 * growth, feats, 1)
+            bn(f"{tp}.norm2", 4 * growth)
+            conv(f"{tp}.conv2.weight", growth, 4 * growth, 3)
+            feats += growth
+        if b < len(_DENSENET121_BLOCKS):
+            bn(f"features.transition{b}.norm", feats)
+            conv(f"features.transition{b}.conv.weight", feats // 2, feats, 1)
+            feats //= 2
+    bn("features.norm5", feats)
+    sd["classifier.weight"] = rng.normal(0, 0.02, size=(1000, feats)).astype(np.float32)
+    sd["classifier.bias"] = np.zeros(1000, dtype=np.float32)
+    return sd
+
+
 def synthetic_resnet_state_dict(arch: str = "resnet50", seed: int = 0) -> Dict[str, np.ndarray]:
     """Generate a random torch-format resnet state_dict (for tests/fixtures)."""
     stages, convs_per_block = _RESNET_ARCH[arch]

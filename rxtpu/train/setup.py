@@ -55,17 +55,25 @@ def create_train_state(
     batch_stats = variables["batch_stats"]
 
     if cfg.model.pretrained_path:  # explicit weights win over debug shrinking
-        from rxtpu.models.pretrained import _RESNET_ARCH, load_torch_state_dict, port_torch_resnet
+        from rxtpu.models.pretrained import (
+            _RESNET_ARCH, load_torch_state_dict, port_torch_densenet121,
+            port_torch_resnet,
+        )
 
-        if cfg.model.backbone not in _RESNET_ARCH:
+        sd = load_torch_state_dict(cfg.model.pretrained_path)
+        if cfg.model.backbone in _RESNET_ARCH:
+            params, batch_stats = port_torch_resnet(
+                sd, dict(params), dict(batch_stats), arch=cfg.model.backbone
+            )
+        elif cfg.model.backbone == "densenet121":
+            params, batch_stats = port_torch_densenet121(
+                sd, dict(params), dict(batch_stats)
+            )
+        else:
             raise ValueError(
-                f"pretrained porting supports {sorted(_RESNET_ARCH)}, "
+                f"pretrained porting supports {sorted(_RESNET_ARCH) + ['densenet121']}, "
                 f"not {cfg.model.backbone!r}"
             )
-        sd = load_torch_state_dict(cfg.model.pretrained_path)
-        params, batch_stats = port_torch_resnet(
-            sd, dict(params), dict(batch_stats), arch=cfg.model.backbone
-        )
 
     lr = resolve_lr(cfg, n_devices)
     schedule = make_schedule(

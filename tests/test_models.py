@@ -200,3 +200,40 @@ def test_torch_resnet18_porting():
         {"params": new_params["backbone"], "batch_stats": new_stats["backbone"]}, x
     )
     assert out.shape == (1, 512) and np.isfinite(np.asarray(out)).all()
+
+
+def test_torch_densenet121_porting():
+    from rxtpu.models.densenet import densenet121
+    from rxtpu.models.pretrained import (
+        port_torch_densenet121, synthetic_densenet121_state_dict,
+    )
+
+    sd = synthetic_densenet121_state_dict(seed=3)
+    m = densenet121(dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 6))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    params = {"backbone": jax.tree_util.tree_map(np.asarray, vars_["params"])}
+    stats = {"backbone": jax.tree_util.tree_map(np.asarray, vars_["batch_stats"])}
+    new_params, new_stats = port_torch_densenet121(sd, params, stats)
+    # stem follows the 6-channel mean-RGB rule
+    got = new_params["backbone"]["conv_init"]["kernel"]
+    want = stem_kernel_from_rgb(np.transpose(sd["features.conv0.weight"], (2, 3, 1, 0)))
+    np.testing.assert_allclose(got, want)
+    # a deep dense layer actually got the torch weights
+    got = new_params["backbone"]["block3_layer17"]["Conv_1"]["kernel"]
+    want = np.transpose(sd["features.denseblock3.denselayer17.conv2.weight"], (2, 3, 1, 0))
+    np.testing.assert_allclose(got, want)
+    # transition + final norm running stats ported
+    np.testing.assert_allclose(
+        new_stats["backbone"]["transition2"]["BatchNorm_0"]["var"],
+        sd["features.transition2.norm.running_var"],
+    )
+    np.testing.assert_allclose(
+        new_stats["backbone"]["bn_final"]["mean"], sd["features.norm5.running_mean"]
+    )
+    # ported params still run
+    out = m.apply(
+        {"params": new_params["backbone"], "batch_stats": new_stats["backbone"]}, x
+    )
+    assert out.shape == (1, 1024)
+    assert np.isfinite(np.asarray(out)).all()
