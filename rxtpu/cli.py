@@ -74,6 +74,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--experiment-types", default=None,
                    help="comma list of plate-group types per test experiment")
     p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed for multi-host pod slices; "
+                        "each host then decodes only its 1/num_hosts input slice")
+    p.add_argument("--coordinator-address", default=None,
+                   help="host:port of process 0 (auto-detected on Cloud TPU)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--nb-classes", type=int, default=None,
                    help="override the 1108 Kaggle classes (synthetic datasets)")
     p.add_argument("--checkpoint-backend", default="pickle",
@@ -198,13 +205,28 @@ def main(argv: Optional[List[str]] = None) -> int:
         run_training,
     )
 
+    # multi-host pod slice: must initialize BEFORE any other jax use so
+    # jax.devices() sees the whole slice (SURVEY §5 distributed backend;
+    # the reference's single-host DataParallel has no equivalent step)
+    if args.distributed:
+        from rxtpu.parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    num_hosts, host_id = jax.process_count(), jax.process_index()
+
     n_devices = jax.device_count()
     local = cfg.local
     mesh = make_mesh(model_parallel=args.model_parallel)
     put = make_put(mesh)
     global_bs = global_batch_size(cfg, n_devices)  # main.py:67
-    decoder_threads = 0 if local else 4 * n_devices  # main.py:61-64 spirit
-    print(f"Devices: {n_devices} ({jax.default_backend()}), global batch {global_bs}")
+    n_local = jax.local_device_count()
+    decoder_threads = 0 if local else 4 * n_local  # main.py:61-64 spirit
+    print(f"Devices: {n_devices} ({jax.default_backend()}), global batch {global_bs}"
+          + (f", host {host_id}/{num_hosts}" if num_hosts > 1 else ""))
 
     stats = _load_or_compute_stats(cfg)
     model = build_model(cfg)
@@ -259,11 +281,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             seed=cfg.train.seed, decoder_threads=decoder_threads,
             prefetch_depth=cfg.data.prefetch_depth,
             two_site=args.two_site_train,
+            num_hosts=num_hosts, host_id=host_id,
         )
         pipe_val = Pipeline(
             idx_val, store_val, stats, global_bs, "val", src_size,
             seed=cfg.train.seed, decoder_threads=decoder_threads,
             drop_last=False, shuffle=False, two_site=args.two_site_train,
+            num_hosts=num_hosts, host_id=host_id,
         )
         state, lr = create_train_state(
             cfg, model, steps_per_epoch=max(1, len(pipe_train)), n_devices=n_devices
@@ -356,6 +380,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         pipe = Pipeline(
             idx_exp, store_exp, stats, global_bs, "test", src_size,
             decoder_threads=decoder_threads, shuffle=False, drop_last=False,
+            num_hosts=num_hosts, host_id=host_id,
         )
         if predict_model is not None:
             def dummy_step(_state, batch):

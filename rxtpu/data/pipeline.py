@@ -124,8 +124,12 @@ class Pipeline:
         use_native: bool = True,
         prefetch_depth: int = 2,
         two_site: bool = False,
+        num_hosts: int = 1,
+        host_id: int = 0,
     ):
         assert mode in ("train", "val", "test")
+        assert 0 <= host_id < num_hosts, (host_id, num_hosts)
+        assert batch_size % num_hosts == 0, (batch_size, num_hosts)
         self.index = index
         self.store = store
         self.batch_size = batch_size
@@ -149,6 +153,14 @@ class Pipeline:
         self._mean_table, self._std_table = stats_table(stats, exps)
         self.two_site = two_site
         self.G = 6 if (mode == "test" or two_site) else 3
+        # multi-host SPMD input: every host computes the identical global
+        # epoch order and decodes only its contiguous rows of each batch
+        # (SURVEY §5; see rxtpu.parallel.multihost). Per-sample randomness is
+        # keyed by (seed, epoch, global stream position) so a sample's view
+        # draws are identical no matter how many hosts feed — sliced input
+        # is bit-identical to the single-host global batch.
+        self.num_hosts = num_hosts
+        self.host_id = host_id
 
     def __len__(self) -> int:
         n = len(self.index)
@@ -173,8 +185,27 @@ class Pipeline:
             ]
         return [(r, 1), (r, 2), (neg, 1), (neg, 2), (pos, 1), (pos, 2)]
 
-    def _make_batch(self, recs: List[WellRecord], rng: np.random.Generator) -> Dict[str, np.ndarray]:
-        bs, g, c, s = self.batch_size, self.G, self.n_channels, self.src_size
+    def _sample_rng(self, epoch: int, stream_pos: int) -> np.random.Generator:
+        """Per-sample generator keyed by global stream position.
+
+        Independent of host count and decode order: host h drawing for
+        global row j gets the same stream as a single host would.
+        """
+        return np.random.default_rng(
+            np.random.SeedSequence((self.seed, 0x5EED, epoch, stream_pos))
+        )
+
+    def _make_batch(
+        self, recs: List[WellRecord], epoch: int, row0: int
+    ) -> Dict[str, np.ndarray]:
+        """Assemble this host's rows [lo, hi) of one global batch.
+
+        ``recs`` is the batch's full (unpadded) global record list; ``row0``
+        its epoch stream offset. Single-host degenerates to the whole batch.
+        """
+        g, c, s = self.G, self.n_channels, self.src_size
+        lo, hi = self._host_rows()
+        bs = hi - lo
         n_real = len(recs)
         # three source modes: decoded fast path (rxpack memmap, no decode at
         # all), streaming (file paths into the native open/read/decode
@@ -187,9 +218,9 @@ class Pipeline:
         exp_ids = np.zeros(bs, np.int32)
         valid = np.zeros(bs, np.float32)
         id_codes: List[str] = []
-        for i in range(bs):
+        for k, i in enumerate(range(lo, hi)):
             r = recs[i] if i < n_real else recs[0]  # pad with sample 0, masked
-            keys = self._view_keys(r, rng)
+            keys = self._view_keys(r, self._sample_rng(epoch, row0 + i))
             if decoded:
                 view_lists.append(keys)
             else:
@@ -198,9 +229,9 @@ class Pipeline:
                         items.extend(self.store.paths(rec, site))
                     else:
                         items.extend(self.store.get(rec, site))
-            labels[i] = r.sirna
-            exp_ids[i] = self._exp_index[r.experiment]
-            valid[i] = 1.0 if i < n_real else 0.0
+            labels[k] = r.sirna
+            exp_ids[k] = self._exp_index[r.experiment]
+            valid[k] = 1.0 if i < n_real else 0.0
             id_codes.append(r.id_code if i < n_real else "")
         if decoded:
             images = np.empty((bs, g, c, s, s), np.uint8)
@@ -237,10 +268,13 @@ class Pipeline:
         rng = np.random.default_rng((self.seed * 1000003 + epoch) & 0x7FFFFFFF)
         return rng.permutation(n)
 
+    def _host_rows(self):
+        per_host = self.batch_size // self.num_hosts
+        return self.host_id * per_host, (self.host_id + 1) * per_host
+
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield host batches, decoded ahead by a background thread."""
+        """Yield this host's batch slices, decoded ahead by a background thread."""
         order = self._order(epoch)
-        rng = np.random.default_rng((self.seed * 7777777 + epoch * 13 + 5) & 0x7FFFFFFF)
         n_batches = len(self)
         batches_recs = [
             [self.index.records[j] for j in order[i * self.batch_size : (i + 1) * self.batch_size]]
@@ -263,10 +297,12 @@ class Pipeline:
 
         def producer():
             try:
-                for recs in batches_recs:
+                for bi, recs in enumerate(batches_recs):
                     if stop.is_set():
                         return
-                    if not put_or_stop(self._make_batch(recs, rng)):
+                    if not put_or_stop(
+                        self._make_batch(recs, epoch, bi * self.batch_size)
+                    ):
                         return
                 put_or_stop(None)
             except BaseException as e:  # surface worker errors to the consumer

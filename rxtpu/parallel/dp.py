@@ -74,5 +74,16 @@ def place_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def make_put(mesh: Mesh) -> Callable[[Iterator], Iterator]:
-    """The ``put`` argument for rxtpu.train.loop.run_training under a mesh."""
+    """The ``put`` argument for rxtpu.train.loop.run_training under a mesh.
+
+    Single-process: batch-dim sharded device_put with double buffering.
+    Multi-process (pod): each host feeds only its local Pipeline slice;
+    ``multihost_prefetch`` assembles the global array from per-process
+    shards (jax.make_array_from_process_local_data), so no host ever
+    materializes or ships the full global batch.
+    """
+    if jax.process_count() > 1:
+        from rxtpu.parallel.multihost import multihost_prefetch
+
+        return functools.partial(multihost_prefetch, mesh=mesh)
     return functools.partial(sharded_prefetch, mesh=mesh)
