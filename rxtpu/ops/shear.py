@@ -61,11 +61,21 @@ def _shear_kernel(
     else:
         x = x.astype(jnp.float32)
     k = k_ref[0, :, 0]
-    for b in range(nbits):
+    # MSB-first barrel with window shrinking: after applying bit b, any
+    # remaining per-row rotation is < 2^b, so lanes beyond
+    # w_out + 2^b are never read again — slice them off (128-aligned) and
+    # every later roll/select runs on the smaller window. Wraps are benign
+    # row-wise: a row with pending rotation rho only reads j <= w_out +
+    # (k_row - rho) and j + rho <= w_out + kmax < wp always holds.
+    for b in reversed(range(nbits)):
         amt = 1 << b
-        rolled = pltpu.roll(x, wp - amt, axis=1)  # left-rotate by amt
+        rolled = pltpu.roll(x, x.shape[1] - amt, axis=1)  # left-rotate by amt
         x = jnp.where((((k >> b) & 1) > 0)[:, None], rolled, x)
-    neighbor = pltpu.roll(x, wp - 1, axis=1)
+        keep = w_out + amt + 8
+        keep += (-keep) % 128
+        if keep < x.shape[1]:
+            x = x[:, :keep]
+    neighbor = pltpu.roll(x, x.shape[1] - 1, axis=1)
     f = f_ref[0, :, 0][:, None]
     y = x * (1.0 - f) + neighbor * f
     y = y * scale_ref[0, 0, 0] + bias_ref[0, 0, 0]
@@ -122,6 +132,177 @@ def shear_pass(
         out_shape=jax.ShapeDtypeStruct((p, h, w_out), out_dtype),
         interpret=interpret,
     )(k, f, scale.reshape(p, 1, 1), bias.reshape(p, 1, 1), xpad)
+
+
+def _shear_rows_kernel(
+    k_ref, f_ref, jt_ref, jb_ref, in_ref, out_ref, *,
+    nbits: int, hp: int, h_out: int, pad_top: int, pad_bot: int,
+):
+    """Sublane (row-axis) shear: per-COLUMN shift by k (barrel of static
+    rolls along axis 0) + lerp. Removes the two inter-pass transposes the
+    lane-only formulation needed: the y-shear runs directly on the
+    [rows=y, lanes=x] layout. The reflect-101 row padding is built
+    IN-KERNEL via antidiagonal matmuls on the MXU (reversal has no vector
+    primitive), so the padded f32 array never round-trips HBM."""
+    raw = in_ref[0].astype(jnp.float32)
+    top = jax.lax.dot(jt_ref[...], raw[1:pad_top + 1, :],
+                      preferred_element_type=jnp.float32)
+    h = raw.shape[0]
+    bot = jax.lax.dot(jb_ref[...], raw[h - pad_bot - 1:h - 1, :],
+                      preferred_element_type=jnp.float32)
+    x = jnp.concatenate([top, raw, bot], axis=0)
+    k = k_ref[0, 0, :]
+    # MSB-first + window shrink (see _shear_kernel); 8-aligned on sublanes
+    for b in reversed(range(nbits)):
+        amt = 1 << b
+        rolled = pltpu.roll(x, x.shape[0] - amt, axis=0)  # up-rotate by amt
+        x = jnp.where((((k >> b) & 1) > 0)[None, :], rolled, x)
+        keep = h_out + amt + 2
+        keep += (-keep) % 8
+        if keep < x.shape[0]:
+            x = x[:keep, :]
+    neighbor = pltpu.roll(x, x.shape[0] - 1, axis=0)
+    f = f_ref[0, 0, :][None, :]
+    y = x * (1.0 - f) + neighbor * f
+    out_ref[0] = y[:h_out, :].astype(out_ref.dtype)
+
+
+def shear_pass_rows(
+    x: jnp.ndarray,          # [P, H, W] planes
+    shift: jnp.ndarray,      # [P, W] f32: out[p,r,c] samples x[p, r+shift, c]
+    h_out: int,
+    pad_top: int,
+    pad_bot: int,
+    interpret: Optional[bool] = None,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Fractional per-column ROW shift with reflect-101 borders."""
+    p, h, w = x.shape
+    hp = h + pad_top + pad_bot
+    if interpret is None:
+        interpret = not _on_tpu()
+    kf = jnp.floor(shift)
+    k = (kf.astype(jnp.int32) + pad_top).reshape(p, 1, w)
+    kmax = hp - h_out - 1
+    k = jnp.clip(k, 0, kmax)
+    nbits = max(1, int(np.ceil(np.log2(kmax + 1))))
+    f = (shift - kf).astype(jnp.float32).reshape(p, 1, w)
+    jt = jnp.eye(pad_top, dtype=jnp.float32)[::-1]
+    jb = jnp.eye(pad_bot, dtype=jnp.float32)[::-1]
+    kernel = functools.partial(
+        _shear_rows_kernel, nbits=nbits, hp=hp, h_out=h_out,
+        pad_top=pad_top, pad_bot=pad_bot,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, 1, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pad_top, pad_top), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pad_bot, pad_bot), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h_out, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, h_out, w), out_dtype),
+        interpret=interpret,
+    )(k, f, jt, jb, x)
+
+
+def _shear_finish_kernel(
+    k_ref, f_ref, scale_ref, bias_ref, flags_ref, j_ref, jl_ref, jr_ref,
+    in_ref, out_ref, *, nbits: int, wp: int, w_out: int,
+    pad_left: int, pad_right: int,
+):
+    """Final x-shear + normalize + row/col reversal dihedral bits.
+
+    Reversal has no cheap vector primitive on TPU (Mosaic `rev` is
+    unimplemented), but multiplying by the antidiagonal permutation J on
+    the MXU reverses an axis at matmul cost — trivial for a 364^2 tile —
+    so both dihedral reversal bits fold into this kernel instead of
+    costing full-tensor XLA `reverse` passes (~4 ms/step measured)."""
+    raw = in_ref[0].astype(jnp.float32)
+    w = raw.shape[1]
+    left = jax.lax.dot(raw[:, 1:pad_left + 1], jl_ref[...],
+                       preferred_element_type=jnp.float32)
+    right = jax.lax.dot(raw[:, w - pad_right - 1:w - 1], jr_ref[...],
+                        preferred_element_type=jnp.float32)
+    x = jnp.concatenate([left, raw, right], axis=1)
+    k = k_ref[0, :, 0]
+    # MSB-first + window shrink (see _shear_kernel)
+    for b in reversed(range(nbits)):
+        amt = 1 << b
+        rolled = pltpu.roll(x, x.shape[1] - amt, axis=1)
+        x = jnp.where((((k >> b) & 1) > 0)[:, None], rolled, x)
+        keep = w_out + amt + 8
+        keep += (-keep) % 128
+        if keep < x.shape[1]:
+            x = x[:, :keep]
+    neighbor = pltpu.roll(x, x.shape[1] - 1, axis=1)
+    f = f_ref[0, :, 0][:, None]
+    y = x * (1.0 - f) + neighbor * f
+    y = y[:, :w_out] * scale_ref[0, 0, 0] + bias_ref[0, 0, 0]
+    jmat = j_ref[...]
+    rr = flags_ref[0, 0, 0]
+    cr = flags_ref[0, 1, 0]
+    yr = jax.lax.dot(jmat, y, preferred_element_type=jnp.float32)
+    y = jnp.where(rr > 0, yr, y)
+    yc = jax.lax.dot(y, jmat, preferred_element_type=jnp.float32)
+    y = jnp.where(cr > 0, yc, y)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def shear_pass_finish(
+    x: jnp.ndarray,          # [P, H, W] f32 planes
+    shift: jnp.ndarray,      # [P, H]
+    w_out: int,
+    pad_left: int,
+    pad_right: int,
+    scale: jnp.ndarray,      # [P]
+    bias: jnp.ndarray,       # [P]
+    rrev: jnp.ndarray,       # [P] bool: reverse output rows
+    crev: jnp.ndarray,       # [P] bool: reverse output cols
+    interpret: Optional[bool] = None,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    p, h, w = x.shape
+    wp = w + pad_left + pad_right
+    if interpret is None:
+        interpret = not _on_tpu()
+    kf = jnp.floor(shift)
+    k = (kf.astype(jnp.int32) + pad_left).reshape(p, h, 1)
+    kmax = wp - w_out - 1
+    k = jnp.clip(k, 0, kmax)
+    nbits = max(1, int(np.ceil(np.log2(kmax + 1))))
+    f = (shift - kf).astype(jnp.float32).reshape(p, h, 1)
+    flags = jnp.stack(
+        [rrev.astype(jnp.int32), crev.astype(jnp.int32)], axis=-1
+    ).reshape(p, 2, 1)  # per-grid-step scalars ride VMEM as (1, n, 1) blocks
+    jmat = jnp.eye(w_out, dtype=jnp.float32)[::-1]
+    jl = jnp.eye(pad_left, dtype=jnp.float32)[::-1]
+    jr = jnp.eye(pad_right, dtype=jnp.float32)[::-1]
+    kernel = functools.partial(
+        _shear_finish_kernel, nbits=nbits, wp=wp, w_out=w_out,
+        pad_left=pad_left, pad_right=pad_right,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, h, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_out, w_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pad_left, pad_left), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pad_right, pad_right), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, h, w_out), out_dtype),
+        interpret=interpret,
+    )(k, f, scale.reshape(p, 1, 1), bias.reshape(p, 1, 1), flags, jmat, jl, jr, x)
 
 
 def dihedral(planes: jnp.ndarray, vflip, hflip, k90) -> jnp.ndarray:
@@ -243,17 +424,82 @@ def rotate_crop_normalize(
     )
 
 
-def _pads(max_shear: float, max_pos_offset: float, w_in: int, w_out: int):
+def rotate_crop_normalize_fused(
+    planes: jnp.ndarray,    # [P, H, W] uint8
+    phi: jnp.ndarray,       # [P] residual angle in [-pi/4, pi/4]
+    crop_yx: jnp.ndarray,   # [P, 2] int crop origin
+    crop_size: int,
+    scale: jnp.ndarray,     # [P]
+    bias: jnp.ndarray,      # [P]
+    rrev: jnp.ndarray,      # [P] bool: output-row reversal (dihedral bit)
+    crev: jnp.ndarray,      # [P] bool: output-col reversal
+    interpret: Optional[bool] = None,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Transpose-free 3-pass rotation + crop + normalize + reversal bits.
+
+    Pass 2 shears along SUBLANES (rows) directly, so no swapaxes copies
+    exist between passes, and the reversal dihedral bits ride the final
+    kernel's MXU (see shear_pass_finish) — vs the v1 pipeline's two
+    inter-pass transposes + 3 XLA reverse/select sweeps (~5.5 ms/step of
+    the 48-view augment measured on v5e).
+    """
+    p, h, w = planes.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    a = jnp.tan(phi / 2.0)
+    b = -jnp.sin(phi)
+    oy = crop_yx[:, 0].astype(jnp.float32)
+    ox = crop_yx[:, 1].astype(jnp.float32)
+
+    rows_y = jnp.arange(h, dtype=jnp.float32)
+    rows_x = jnp.arange(w, dtype=jnp.float32)
+    rows_c = jnp.arange(crop_size, dtype=jnp.float32)
+
+    shear_a = 0.41422 * max(h, w) / 2.0
+    shear_b = 0.70712 * max(h, w) / 2.0
+    crop_slack = max(h, w) - crop_size
+
+    # pass 1: x-shear (lanes), full height: t1(y) = a * (y - cy)
+    t1 = a[:, None] * (rows_y[None, :] - cy)
+    p1l, p1r = _pads(shear_a, 0, w, w)
+    s1 = shear_pass(planes, t1, w, p1l, p1r, interpret=interpret)
+
+    # pass 2: y-shear (SUBLANES, no transpose): t2(x) = b * (x - cx) + oy
+    t2 = b[:, None] * (rows_x[None, :] - cx) + oy[:, None]
+    p2t, p2b = _pads(shear_b, crop_slack, h, crop_size, lane_align=False)
+    s2 = shear_pass_rows(s1, t2, crop_size, p2t, p2b, interpret=interpret)
+
+    # pass 3: x-shear + normalize + reversal bits fused
+    t3 = a[:, None] * (rows_c[None, :] + oy[:, None] - cy) + ox[:, None]
+    p3l, p3r = _pads(shear_a, crop_slack, w, crop_size)
+    return shear_pass_finish(
+        s2, t3, crop_size, p3l, p3r, scale, bias, rrev, crev,
+        interpret=interpret, out_dtype=out_dtype,
+    )
+
+
+def _pads(max_shear: float, max_pos_offset: float, w_in: int, w_out: int,
+          lane_align: bool = True):
     """(pad_left, pad_right) covering shift in [-max_shear, max_shear + off].
 
     Left: most negative shift. Right: k_max + w_out + 1 must fit in the
-    padded width. Rounded up to multiples of 64 lanes.
+    padded width. Pads are multiples of 8 and kept < w_in - 1 so the
+    kernels can build the reflect-101 border with a single mirror; with
+    ``lane_align`` the padded width is rounded up to a multiple of 128
+    (lane tiling) by growing pad_right.
     """
-    up64 = lambda v: int(np.ceil(max(v, 1) / 64.0)) * 64  # noqa: E731
-    pad_left = up64(max_shear + 2)
+    up8 = lambda v: int(np.ceil(max(v, 1) / 8.0)) * 8  # noqa: E731
+    pad_left = up8(max_shear + 2)
     t_max = max_shear + max_pos_offset
     # need: floor(t_max) + pad_left + w_out + 1 <= w_in + pad_left + pad_right
-    pad_right = up64(t_max + w_out + 2 - w_in)
+    pad_right = up8(t_max + w_out + 2 - w_in)
+    if lane_align:
+        wp = w_in + pad_left + pad_right
+        extra = (-wp) % 128
+        if pad_right + extra < w_in - 1:  # keep the single-mirror invariant
+            pad_right += extra            # (tiny test planes skip alignment)
+    assert pad_left < w_in - 1 and pad_right < w_in - 1, (
+        pad_left, pad_right, w_in)
     return pad_left, pad_right
 
 
@@ -310,10 +556,21 @@ def augment_batch_shear(
     scale_p = jnp.repeat(scale[:, None, :], g, axis=1).reshape(p)
     bias_p = jnp.repeat(bias[:, None, :], g, axis=1).reshape(p)
 
-    out = rotate_crop_normalize(
-        planes, rep(phi_inner), rep(crop_inner), crop_size, scale_p, bias_p,
-        interpret=interpret,
+    # The swap bit moves to the INPUT side on the cheap uint8 planes
+    # (T(S_{phi,(oy,ox)}(x)) = S_{-phi,(ox,oy)}(T(x)), and T . Rev_{r,c} =
+    # Rev_{c,r} . T), so the reversal bits fold into the final shear
+    # kernel and nothing dihedral remains on the f32 output side.
+    swap_p = rep(swap)
+    planes = jnp.where(swap_p[:, None, None], jnp.swapaxes(planes, 1, 2), planes)
+    phi_eff = jnp.where(swap, -phi_inner, phi_inner)
+    crop_eff = jnp.where(
+        swap[:, None], crop_inner[:, ::-1], crop_inner
     )
-    out = apply_dihedral_bits(out, rep(swap), rep(rrev), rep(crev))
+    rrev_eff = jnp.where(swap, crev, rrev)
+    crev_eff = jnp.where(swap, rrev, crev)
+    out = rotate_crop_normalize_fused(
+        planes, rep(phi_eff), rep(crop_eff), crop_size, scale_p, bias_p,
+        rep(rrev_eff), rep(crev_eff), interpret=interpret,
+    )
     out = out.reshape(b, g, c, crop_size, crop_size)
     return jnp.transpose(out, (0, 1, 3, 4, 2)).astype(out_dtype)
