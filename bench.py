@@ -135,7 +135,7 @@ def run_bench(backbone: str, batch: int, steps: int, warmup: int, crop: int, src
 def _bench_dataset(src: int, min_records: int):
     """Synthetic jpeg tree + rxpack under a reusable cache dir."""
     cache = os.environ.get("RXTPU_BENCH_CACHE", "/tmp/rxtpu_bench_data_v1")
-    marker = os.path.join(cache, f"ok_{src}")
+    marker = os.path.join(cache, f"ok_{src}_{min_records}")
     if not os.path.exists(marker):
         from rxtpu.data.pack import write_pack
         from rxtpu.data.records import load_metadata, read_metadata_csvs
@@ -243,7 +243,7 @@ def run_pipeline_bench(backbone: str, batch: int, steps: int, crop: int, src: in
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backbone", default="resnet50")
-    ap.add_argument("--batch", type=int, default=16, help="per-device batch")
+    ap.add_argument("--batch", type=int, default=32, help="per-device batch (32 = measured v5e sweet spot; see OPTIMIZATION.md)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--crop", type=int, default=364)
