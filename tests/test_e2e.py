@@ -187,3 +187,33 @@ def test_cli_with_rxpack(e2e_root, monkeypatch):
     pg = manifest["plate_groups"]
     for r in sub.itertuples():
         assert pg[r.sirna, 0] == int(r.id_code.split("_")[1])
+
+def test_cli_pack_only_no_image_tree(e2e_root, monkeypatch):
+    """Pack-only deployment: ship ONLY .rxpack files + metadata + stats to a
+    host (the format's whole point) and run the full CLI flow — the image
+    tree is hidden after packing, so any leftover cv2.imread probe would
+    crash (src geometry must come from the pack metadata)."""
+    import shutil
+
+    root, manifest = e2e_root
+    monkeypatch.chdir(root)
+    from rxtpu.tools import main as tools_main
+
+    if not os.path.exists("packs_only"):
+        tools_main(["pack", "--data", "data", "--out", "packs_only"])
+    if not os.path.exists("stats_experiments.json"):
+        tools_main(["stats", "--data", "data", "--out", "stats_experiments.json"])
+    for split in ("train", "test"):
+        shutil.move(os.path.join("data", split), os.path.join("data", f".{split}_hidden"))
+    try:
+        rc = cli_main([
+            "--debug", "--experiment_id", "packonly", "--nb-classes", "4",
+            "--epochs", "1", "--crop-size", "32", "--experiment-types", "0",
+            "--pack", "packs_only",
+        ])
+        assert rc == 0
+        sub = pd.read_csv("submission_packonly.csv")
+        assert len(sub) == len(manifest["test"])
+    finally:
+        for split in ("train", "test"):
+            shutil.move(os.path.join("data", f".{split}_hidden"), os.path.join("data", split))
