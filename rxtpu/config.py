@@ -57,6 +57,10 @@ class ModelConfig:
     control_calibration: bool = False        # neg-control embedding calibration (config 4)
     compute_dtype: str = "bfloat16"          # MXU-native
     param_dtype: str = "float32"
+    # Fused Pallas bottleneck blocks for stride-1 ResNet stages in train
+    # mode (rxtpu.ops.fused_block). None = auto (currently off: measured
+    # slower than XLA's composition on v5e — see OPTIMIZATION.md).
+    fuse_blocks: Optional[bool] = None
 
 
 @dataclasses.dataclass

@@ -89,6 +89,10 @@ class ResNet(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None  # None = per-replica stats (DataParallel parity)
+    # Substitute the fused Pallas bottleneck (rxtpu.ops.fused_block) for
+    # stride-1 bottlenecks during training. Parameter trees are identical
+    # either way, so the flag can differ between train and eval applies.
+    fuse_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -115,16 +119,50 @@ class ResNet(nn.Module):
         x = norm(name="bn_init")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        fuse = (
+            self.fuse_blocks
+            and train
+            and self.block_cls is BottleneckBlock
+            and self.bn_axis_name is None
+        )
         for i, block_size in enumerate(self.stage_sizes):
+            flat_hw = None  # (h, w) while x is flat-padded inside a fused run
             for j in range(block_size):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)
-                x = self.block_cls(
-                    self.num_filters * 2**i,
-                    strides=strides,
-                    conv=conv,
-                    norm=norm,
-                    name=f"stage{i+1}_block{j+1}",
-                )(x)
+                name = f"stage{i+1}_block{j+1}"
+                if fuse and strides == (1, 1):
+                    from rxtpu.models.fused import FusedBottleneckBlock
+                    from rxtpu.ops.fused_block import pad_pixels, plan_block
+
+                    if flat_hw is None:
+                        # flatten + zero-pad once per run of fused blocks;
+                        # the pad rows stay zero across the whole run
+                        n, h, w, c = x.shape
+                        x = pad_pixels(
+                            x.reshape(n, h * w, c),
+                            plan_block(h, w, self.num_filters * 2**i, c))
+                        flat_hw = (h, w)
+                    x = FusedBottleneckBlock(
+                        self.num_filters * 2**i,
+                        strides=strides,
+                        dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        height=flat_hw[0],
+                        width=flat_hw[1],
+                        name=name,
+                    )(x)
+                else:
+                    x = self.block_cls(
+                        self.num_filters * 2**i,
+                        strides=strides,
+                        conv=conv,
+                        norm=norm,
+                        name=name,
+                    )(x)
+            if flat_hw is not None:
+                h, w = flat_hw
+                n = x.shape[0]
+                x = x[:, :h * w, :].reshape(n, h, w, x.shape[-1])
         x = jnp.mean(x, axis=(1, 2))  # global average pool -> [N, F]
         return x.astype(self.dtype)
 
@@ -173,5 +211,6 @@ def make_backbone(arch: str, **kw):
     if arch == "densenet121":
         from rxtpu.models.densenet import densenet121
 
+        kw.pop("fuse_blocks", None)  # bottleneck fusion is ResNet-only
         return densenet121(**kw)
     raise ValueError(f"unknown backbone {arch!r}")

@@ -34,6 +34,7 @@ class TwoSitesNN(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    fuse_blocks: bool = False  # Pallas fused bottlenecks in train mode
 
     @nn.compact
     def __call__(self, x, train: bool = False, labels=None):
@@ -45,6 +46,7 @@ class TwoSitesNN(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             bn_axis_name=self.bn_axis_name,
+            fuse_blocks=self.fuse_blocks,
             name="backbone",
         )(x, train=train)                               # [B*G, F]
         f = feats.shape[-1]

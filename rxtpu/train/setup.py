@@ -14,6 +14,14 @@ from rxtpu.train.step import TrainState
 
 
 def build_model(cfg: Config, bn_axis_name: Optional[str] = None) -> TwoSitesNN:
+    fuse = cfg.model.fuse_blocks
+    if fuse is None:
+        # Default OFF: the fused path is numerically a drop-in but measured
+        # 2.2x SLOWER than XLA's composition on real stage1 shapes (v5e,
+        # dev/tpu_fused_probe.py: 62.7 vs 28.2 ms for the 3-block chain) —
+        # VMEM caps slabs at ~1k pixels so grid overhead dominates. Opt-in
+        # via ModelConfig.fuse_blocks=True; see OPTIMIZATION.md.
+        fuse = False
     return TwoSitesNN(
         backbone=cfg.model.backbone,
         nb_classes=cfg.model.nb_classes,
@@ -26,6 +34,7 @@ def build_model(cfg: Config, bn_axis_name: Optional[str] = None) -> TwoSitesNN:
         dtype=jnp.dtype(cfg.model.compute_dtype),
         param_dtype=jnp.dtype(cfg.model.param_dtype),
         bn_axis_name=bn_axis_name,
+        fuse_blocks=fuse,
     )
 
 
