@@ -44,7 +44,10 @@ fold = fb._Folded(vec_f * 0.1, vec_f, vec_f, vec_f, vec_f * 0.1)
 fold4 = fb._Folded(vec_c4 * 0.1, vec_c4, vec_c4, vec_c4, vec_c4 * 0.1)
 
 
-def timed(name, make_out, main, *rest, iters=10):
+ITERS = int(os.environ.get("PROBE_ITERS", "50"))
+
+
+def timed(name, make_out, main, *rest, iters=ITERS):
     """make_out(main_perturbed, *rest) -> array; times the chained op.
 
     All big operands are jit arguments (closed-over constants 413 the
@@ -55,7 +58,10 @@ def timed(name, make_out, main, *rest, iters=10):
     @jax.jit
     def chain(main, *rest):
         def body(i, acc):
-            out = make_out(main + acc.astype(main.dtype) * 1e-20, *rest)
+            # perturb the LAST operand (always a small weight here): a
+            # perturbed big operand would add a full HBM copy per iter
+            pr = rest[:-1] + (rest[-1] + acc.astype(rest[-1].dtype) * 1e-20,)
+            out = make_out(main, *pr)
             return acc + out.reshape(-1)[0].astype(jnp.float32)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
@@ -70,6 +76,9 @@ def timed(name, make_out, main, *rest, iters=10):
     print(f"{name}: {per:.2f} ms")
     return per
 
+
+timed("XLA bandwidth baseline (x * w[0,0], 409+409 MB)",
+      lambda xx, ww: xx * ww[0, 0], x, w1)
 
 tot = 0.0
 tot += timed("K1 (1x1 C->F + stats)", lambda xx, ww: fb._k1(

@@ -51,8 +51,22 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _OFFSETS = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+
+# The Mosaic default scoped-VMEM cap (16 MiB) throttles slabs to ~1k pixels
+# and leaves the kernels grid-overhead-bound (~9x above roofline, see
+# OPTIMIZATION.md); v5e has 128 MiB VMEM, so claim most of it.
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
+def _pallas(kern, cfg: "BlockCfg", **kw):
+    interpret = cfg._interpret()
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+    return pl.pallas_call(kern, interpret=interpret, **kw)
 
 
 def _on_tpu() -> bool:
@@ -271,13 +285,13 @@ def _k1(cfg: BlockCfg, x, w1b, wpb):
     else:
         def kern(x_ref, w1_ref, *rest):
             _k1_kernel(cfg, x_ref, w1_ref, None, *rest)
-    return pl.pallas_call(
+    return _pallas(
         kern,
         grid=(V, cfg.nslab),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=outs,
-        interpret=cfg._interpret(),
+        cfg=cfg,
     )(*ins)
 
 
@@ -322,7 +336,7 @@ def _k2(cfg: BlockCfg, c1, sc1, sh1, w2b):
     V, PP, F = c1.shape
     S = cfg.slab
     wins, win_specs = _c1_windows(cfg, c1)
-    return pl.pallas_call(
+    return _pallas(
         functools.partial(_k2_kernel, cfg),
         grid=(V, cfg.nslab),
         in_specs=win_specs + [
@@ -334,7 +348,7 @@ def _k2(cfg: BlockCfg, c1, sc1, sh1, w2b):
             jax.ShapeDtypeStruct((1, F), jnp.float32),
             jax.ShapeDtypeStruct((1, F), jnp.float32),
         ],
-        interpret=cfg._interpret(),
+        cfg=cfg,
     )(*wins, sc1, sh1, w2b)
 
 
@@ -353,7 +367,7 @@ def _k3(cfg: BlockCfg, c2, sc2, sh2, w3b):
     V, PP, F = c2.shape
     S = cfg.slab
     C4 = cfg.out_features
-    return pl.pallas_call(
+    return _pallas(
         functools.partial(_k3_kernel, cfg),
         grid=(V, cfg.nslab),
         in_specs=[
@@ -364,7 +378,7 @@ def _k3(cfg: BlockCfg, c2, sc2, sh2, w3b):
         ],
         out_specs=[_shared_spec(1, C4), _shared_spec(1, C4)],
         out_shape=[jax.ShapeDtypeStruct((1, C4), jnp.float32)] * 2,
-        interpret=cfg._interpret(),
+        cfg=cfg,
     )(c2, sc2, sh2, w3b)
 
 
@@ -417,13 +431,13 @@ def _k4(cfg: BlockCfg, c2, x, sc2, sh2, w3b, sc3, sh3, wpb, scp, shp):
                  y_ref):
             _k4_kernel(cfg, c2_ref, x_ref, sc2_ref, sh2_ref, w3_ref, sc3_ref,
                        sh3_ref, None, None, None, y_ref)
-    return pl.pallas_call(
+    return _pallas(
         kern,
         grid=(V, cfg.nslab),
         in_specs=in_specs,
         out_specs=_slab_spec(S, C4),
         out_shape=jax.ShapeDtypeStruct((V, PP, C4), jnp.bfloat16),
-        interpret=cfg._interpret(),
+        cfg=cfg,
     )(*ins)
 
 
@@ -534,9 +548,9 @@ def _b1(cfg: BlockCfg, dy, y, c2, f2, w3b, f3, x, wpb, fp):
         def kern(dy_r, y_r, c2_r, sc2, sh2, w3_r, m3, i3, s3a, s3b):
             _b1_kernel(cfg, dy_r, y_r, c2_r, sc2, sh2, w3_r, m3, i3,
                        None, None, None, None, s3a, s3b)
-    return pl.pallas_call(
+    return _pallas(
         kern, grid=(dy.shape[0], cfg.nslab), in_specs=in_specs,
-        out_specs=out_specs, out_shape=outs, interpret=cfg._interpret(),
+        out_specs=out_specs, out_shape=outs, cfg=cfg,
     )(*ins)
 
 
@@ -570,7 +584,7 @@ def _b2(cfg: BlockCfg, dy, y, c2, f2, w3b, w3tb, f3, d3a, d3b):
     C4 = cfg.out_features
     # the BN-backward channel factor gamma*inv is the folded forward scale
     k3 = f3.scale
-    return pl.pallas_call(
+    return _pallas(
         functools.partial(_b2_kernel, cfg),
         grid=(V, cfg.nslab),
         in_specs=[
@@ -592,7 +606,7 @@ def _b2(cfg: BlockCfg, dy, y, c2, f2, w3b, w3tb, f3, d3a, d3b):
             jax.ShapeDtypeStruct((1, F), jnp.float32),
             jax.ShapeDtypeStruct((1, F), jnp.float32),
         ],
-        interpret=cfg._interpret(),
+        cfg=cfg,
     )(dy, y, c2, f2.scale, f2.shift, w3b, w3tb, f3.mean, f3.inv, k3,
       d3a, d3b, f2.mean, f2.inv)
 
@@ -667,7 +681,7 @@ def _b3(cfg: BlockCfg, g2, c1, c2, f1, f2, d2a, d2b, w2tb):
         _shared_spec(1, F), _shared_spec(9, F, F),
         _shared_spec(1, F), _shared_spec(1, F),
     ]
-    return pl.pallas_call(
+    return _pallas(
         functools.partial(_b3_kernel, cfg),
         grid=(V, cfg.nslab),
         in_specs=in_specs + shared_specs,
@@ -682,7 +696,7 @@ def _b3(cfg: BlockCfg, g2, c1, c2, f1, f2, d2a, d2b, w2tb):
             jax.ShapeDtypeStruct((1, F), jnp.float32),
             jax.ShapeDtypeStruct((1, F), jnp.float32),
         ],
-        interpret=cfg._interpret(),
+        cfg=cfg,
     )(*ins, *shared)
 
 
@@ -753,9 +767,9 @@ def _b4(cfg: BlockCfg, g1, c1, x, dy, y, f1, d1a, d1b, w1tb,
             _b4_kernel(cfg, g1_r, c1_r, x_r, dy_r, y_r, k1_r, d1a_r, d1b_r,
                        m1_r, i1_r, w1t_r, None, None, None, None, None,
                        None, None, dx_r, dw1_r)
-    return pl.pallas_call(
+    return _pallas(
         kern, grid=(V, cfg.nslab), in_specs=in_specs, out_specs=out_specs,
-        out_shape=outs, interpret=cfg._interpret(),
+        out_shape=outs, cfg=cfg,
     )(*ins)
 
 
