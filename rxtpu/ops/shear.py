@@ -568,9 +568,12 @@ def augment_batch_shear(
     )
     rrev_eff = jnp.where(swap, crev, rrev)
     crev_eff = jnp.where(swap, rrev, crev)
+    # cast to out_dtype inside the finish kernel: the CHW->HWC transpose
+    # then moves half the bytes (f32 values are identical either way)
     out = rotate_crop_normalize_fused(
         planes, rep(phi_eff), rep(crop_eff), crop_size, scale_p, bias_p,
         rep(rrev_eff), rep(crev_eff), interpret=interpret,
+        out_dtype=out_dtype,
     )
     out = out.reshape(b, g, c, crop_size, crop_size)
-    return jnp.transpose(out, (0, 1, 3, 4, 2)).astype(out_dtype)
+    return jnp.transpose(out, (0, 1, 3, 4, 2))
