@@ -26,8 +26,12 @@ The JSON line tells the whole story:
   on-rig ``input_stall_pct`` is dominated by the dev tunnel's ~10-30 MB/s
   host->device relay (reported as ``h2d_MBps``).
 
+- ``detail.eval_ips_per_chip``: the inference-class rate (center-crop +
+  normalize + forward, no bwd) — the workload class where the 5000
+  north star is approachable at all (see mxu_ceiling_ips above).
+
 Usage: python bench.py [--steps N] [--batch B] [--backbone resnet50]
-                       [--no-pipeline] [--pipeline-steps N]
+                       [--no-pipeline] [--pipeline-steps N] [--no-eval]
 """
 
 from __future__ import annotations
@@ -63,7 +67,7 @@ def _build(backbone: str, batch: int, crop: int, src: int):
     state, _ = create_train_state(cfg, model, steps_per_epoch=100, n_devices=n_dev)
     state = place_state(state, mesh)
     step = make_train_step(model, crop, donate=True)
-    return mesh, state, step, n_dev
+    return mesh, state, step, n_dev, model
 
 
 def run_bench(backbone: str, batch: int, steps: int, warmup: int, crop: int, src: int):
@@ -72,7 +76,7 @@ def run_bench(backbone: str, batch: int, steps: int, warmup: int, crop: int, src
 
     from rxtpu.parallel import shard_batch
 
-    mesh, state, step, n_dev = _build(backbone, batch, crop, src)
+    mesh, state, step, n_dev, _model = _build(backbone, batch, crop, src)
     global_batch = batch * n_dev
 
     rng = np.random.default_rng(0)
@@ -127,6 +131,45 @@ def run_bench(backbone: str, batch: int, steps: int, warmup: int, crop: int, src
     return out
 
 
+def run_eval_bench(backbone: str, batch: int, steps: int, crop: int, src: int):
+    """Inference rate (eval step: center-crop + normalize + fwd, no bwd).
+
+    The 5000-views/s north star is an inference-class number (the TRAIN
+    mxu ceiling is ~2620, see module docstring); this leg reports where
+    this implementation stands on that workload.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rxtpu.parallel import shard_batch
+    from rxtpu.train import make_eval_step
+
+    mesh, state, _, n_dev, model = _build(backbone, batch, crop, src)
+    estep = make_eval_step(model, crop)
+    G = 3
+    global_batch = batch * n_dev
+    rng = np.random.default_rng(0)
+    batch_host = {
+        "images": rng.integers(
+            0, 256, size=(global_batch, G, 6, src, src), dtype=np.uint8),
+        "labels": rng.integers(0, 1108, size=(global_batch,)).astype(np.int32),
+        "mean": rng.uniform(0.2, 0.6, (global_batch, 6)).astype(np.float32),
+        "std": rng.uniform(0.1, 0.4, (global_batch, 6)).astype(np.float32),
+    }
+    dbatch = shard_batch(batch_host, mesh)
+    m = None
+    for _ in range(3):  # compile + relay warmup
+        m = estep(state, dbatch)
+    float(m["loss_sum"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        m = estep(state, dbatch)
+    float(m["loss_sum"])
+    dt = time.perf_counter() - t0
+    return {"eval_ips_per_chip": global_batch * G * steps / dt / n_dev,
+            "eval_step_time_ms": 1000 * dt / steps}
+
+
 # ---------------------------------------------------------------------------
 # End-to-end pipeline-fed measurement: rxpack -> Pipeline -> device_prefetch
 # -> fused train step, with the input stall measured (BASELINE <2% target).
@@ -165,7 +208,7 @@ def run_pipeline_bench(backbone: str, batch: int, steps: int, crop: int, src: in
     from rxtpu.parallel import make_put
     from rxtpu.train.metrics import StepTimer
 
-    mesh, state, step, n_dev = _build(backbone, batch, crop, src)
+    mesh, state, step, n_dev, _model = _build(backbone, batch, crop, src)
     global_batch = batch * n_dev
     root = _bench_dataset(src, min_records=2 * global_batch)
 
@@ -251,6 +294,9 @@ def main():
     ap.add_argument("--no-pipeline", action="store_true",
                     help="skip the pipeline-fed end-to-end measurement")
     ap.add_argument("--pipeline-steps", type=int, default=5)
+    ap.add_argument("--no-eval", action="store_true",
+                    help="skip the inference-rate measurement")
+    ap.add_argument("--eval-steps", type=int, default=30)
     args = ap.parse_args()
 
     try:
@@ -285,6 +331,15 @@ def main():
 
             traceback.print_exc()
             r["input_stall_pct"] = None
+
+    if not args.no_eval:
+        try:
+            r.update(run_eval_bench(args.backbone, args.batch,
+                                    args.eval_steps, args.crop, args.src))
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
 
     # Measured composition floor for this model family (OPTIMIZATION.md):
     # conv pass-count roofline + irreducible BN-train reductions ~0.94
