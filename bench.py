@@ -70,24 +70,34 @@ def _build(backbone: str, batch: int, crop: int, src: int):
     return mesh, state, step, n_dev, model
 
 
-def run_bench(backbone: str, batch: int, steps: int, warmup: int, crop: int, src: int):
+G = 3  # sites*channels grouping of the train/eval batch (pipeline "train" mode)
+
+
+def _make_synthetic_batch(global_batch: int, src: int):
+    rng = np.random.default_rng(0)
+    return {
+        "images": rng.integers(
+            0, 256, size=(global_batch, G, 6, src, src), dtype=np.uint8),
+        "labels": rng.integers(0, 1108, size=(global_batch,)).astype(np.int32),
+        "mean": rng.uniform(0.2, 0.6, (global_batch, 6)).astype(np.float32),
+        "std": rng.uniform(0.1, 0.4, (global_batch, 6)).astype(np.float32),
+    }
+
+
+def run_bench(backbone: str, batch: int, steps: int, warmup: int, crop: int,
+              src: int, built=None):
+    """Resident-batch train rate. Returns (metrics, built) where ``built``
+    is the (mesh, state, step, n_dev, model) tuple with the POST-bench
+    state (the original buffers are donated away by the step)."""
     import jax
     import jax.numpy as jnp
 
     from rxtpu.parallel import shard_batch
 
-    mesh, state, step, n_dev, _model = _build(backbone, batch, crop, src)
+    mesh, state, step, n_dev, model = built or _build(backbone, batch, crop, src)
     global_batch = batch * n_dev
 
-    rng = np.random.default_rng(0)
-    G = 3
-    batch_host = {
-        "images": rng.integers(0, 256, size=(global_batch, G, 6, src, src), dtype=np.uint8),
-        "labels": rng.integers(0, 1108, size=(global_batch,)).astype(np.int32),
-        "mean": rng.uniform(0.2, 0.6, (global_batch, 6)).astype(np.float32),
-        "std": rng.uniform(0.1, 0.4, (global_batch, 6)).astype(np.float32),
-    }
-    dbatch = shard_batch(batch_host, mesh)
+    dbatch = shard_batch(_make_synthetic_batch(global_batch, src), mesh)
     key = jax.random.PRNGKey(0)
     flag = jnp.asarray(True)
 
@@ -128,35 +138,24 @@ def run_bench(backbone: str, batch: int, steps: int, warmup: int, crop: int, src
         out["flops_per_step"] = flops
         out["mxu_ceiling_ips"] = views_per_step * MEASURED_PEAK_FLOPS / flops / n_dev
         out["mfu_pct"] = 100.0 * flops * (steps / dt) / (n_dev * MEASURED_PEAK_FLOPS)
-    return out
+    return out, (mesh, state, step, n_dev, model)
 
 
-def run_eval_bench(backbone: str, batch: int, steps: int, crop: int, src: int):
+def run_eval_bench(backbone: str, batch: int, steps: int, crop: int, src: int,
+                   built=None):
     """Inference rate (eval step: center-crop + normalize + fwd, no bwd).
 
     The 5000-views/s north star is an inference-class number (the TRAIN
     mxu ceiling is ~2620, see module docstring); this leg reports where
     this implementation stands on that workload.
     """
-    import jax
-    import jax.numpy as jnp
-
     from rxtpu.parallel import shard_batch
     from rxtpu.train import make_eval_step
 
-    mesh, state, _, n_dev, model = _build(backbone, batch, crop, src)
+    mesh, state, _, n_dev, model = built or _build(backbone, batch, crop, src)
     estep = make_eval_step(model, crop)
-    G = 3
     global_batch = batch * n_dev
-    rng = np.random.default_rng(0)
-    batch_host = {
-        "images": rng.integers(
-            0, 256, size=(global_batch, G, 6, src, src), dtype=np.uint8),
-        "labels": rng.integers(0, 1108, size=(global_batch,)).astype(np.int32),
-        "mean": rng.uniform(0.2, 0.6, (global_batch, 6)).astype(np.float32),
-        "std": rng.uniform(0.1, 0.4, (global_batch, 6)).astype(np.float32),
-    }
-    dbatch = shard_batch(batch_host, mesh)
+    dbatch = shard_batch(_make_synthetic_batch(global_batch, src), mesh)
     m = None
     for _ in range(3):  # compile + relay warmup
         m = estep(state, dbatch)
@@ -271,7 +270,7 @@ def run_pipeline_bench(backbone: str, batch: int, steps: int, crop: int, src: in
     dt = time.perf_counter() - t0
     assert np.isfinite(loss), loss
 
-    views_per_step = global_batch * 3
+    views_per_step = global_batch * G
     step_s = dt / steps
     return {
         "pipeline_ips": views_per_step * steps / dt / n_dev,
@@ -299,15 +298,17 @@ def main():
     ap.add_argument("--eval-steps", type=int, default=30)
     args = ap.parse_args()
 
+    bench_batch = args.batch
     try:
-        r = run_bench(args.backbone, args.batch, args.steps, args.warmup,
-                      args.crop, args.src)
+        r, built = run_bench(args.backbone, bench_batch, args.steps,
+                             args.warmup, args.crop, args.src)
     except Exception:  # smaller fallback (OOM etc.)
         import traceback
 
         traceback.print_exc()
-        r = run_bench(args.backbone, max(1, args.batch // 2), args.steps,
-                      args.warmup, args.crop, args.src)
+        bench_batch = max(1, args.batch // 2)
+        r, built = run_bench(args.backbone, bench_batch, args.steps,
+                             args.warmup, args.crop, args.src)
 
     if not args.no_pipeline:
         try:
@@ -334,12 +335,16 @@ def main():
 
     if not args.no_eval:
         try:
-            r.update(run_eval_bench(args.backbone, args.batch,
-                                    args.eval_steps, args.crop, args.src))
+            # reuse the train leg's build: state is batch-independent and
+            # the step function is rebuilt for eval anyway
+            r.update(run_eval_bench(args.backbone, bench_batch,
+                                    args.eval_steps, args.crop, args.src,
+                                    built=built))
         except Exception:
             import traceback
 
             traceback.print_exc()
+            r["eval_ips_per_chip"] = None  # failed (vs absent = skipped)
 
     # Measured composition floor for this model family (OPTIMIZATION.md):
     # conv pass-count roofline + irreducible BN-train reductions ~0.94

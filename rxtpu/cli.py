@@ -64,6 +64,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--tta-average", default="probs", choices=["probs", "logits"])
     p.add_argument("--calibrate", action="store_true",
                    help="neg-control embedding calibration in the head (config 4)")
+    p.add_argument("--fuse-blocks", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="fused Pallas bottleneck blocks in train mode "
+                        "(auto = off; opt-in, see OPTIMIZATION.md)")
     p.add_argument("--augment", default="shear", choices=["shear", "gather"],
                    help="train augmentation backend (gather = exact reference warp)")
     p.add_argument("--assign-method", default="greedy",
@@ -139,6 +143,8 @@ def resolve_config(args) -> "Config":
     if args.nb_classes is not None:
         cfg.model.nb_classes = args.nb_classes
     cfg.model.control_calibration = args.calibrate
+    if args.fuse_blocks != "auto":
+        cfg.model.fuse_blocks = args.fuse_blocks == "on"
     cfg.train.augment_backend = args.augment
     if args.stats is not None:
         cfg.data.stats_path = args.stats

@@ -20,7 +20,8 @@ from typing import Any, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rxtpu.ops.fused_block import bottleneck_fused, pad_pixels, plan_block
+from rxtpu.ops.fused_block import (
+    DEFAULT_SLAB_TARGET, bottleneck_fused, pad_pixels, plan_block)
 
 
 class _ConvKernel(nn.Module):
@@ -70,7 +71,9 @@ class FusedBottleneckBlock(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     interpret: Optional[bool] = None
-    slab_target: int = 1024  # pixels per Pallas grid step (see plan_block)
+    # pixels per Pallas grid step; when fed pre-flattened input the caller
+    # must have padded with the SAME slab_target (ResNet passes its value)
+    slab_target: int = DEFAULT_SLAB_TARGET
     # spatial dims, required when fed pre-flattened padded [N, PP, C] input
     # (stage chaining: ResNet pads once per run of fused blocks)
     height: Optional[int] = None

@@ -132,21 +132,27 @@ class ResNet(nn.Module):
                 name = f"stage{i+1}_block{j+1}"
                 if fuse and strides == (1, 1):
                     from rxtpu.models.fused import FusedBottleneckBlock
-                    from rxtpu.ops.fused_block import pad_pixels, plan_block
+                    from rxtpu.ops.fused_block import (
+                        DEFAULT_SLAB_TARGET, pad_pixels, plan_block)
 
+                    # one slab_target for the stage pad AND every block's
+                    # internal plan — they must agree on the padded size
+                    slab_target = DEFAULT_SLAB_TARGET
                     if flat_hw is None:
                         # flatten + zero-pad once per run of fused blocks;
                         # the pad rows stay zero across the whole run
                         n, h, w, c = x.shape
                         x = pad_pixels(
                             x.reshape(n, h * w, c),
-                            plan_block(h, w, self.num_filters * 2**i, c))
+                            plan_block(h, w, self.num_filters * 2**i, c,
+                                       slab_target=slab_target))
                         flat_hw = (h, w)
                     x = FusedBottleneckBlock(
                         self.num_filters * 2**i,
                         strides=strides,
                         dtype=self.dtype,
                         param_dtype=self.param_dtype,
+                        slab_target=slab_target,
                         height=flat_hw[0],
                         width=flat_hw[1],
                         name=name,

@@ -106,16 +106,26 @@ class BlockCfg(NamedTuple):
         return (not _on_tpu()) if self.interpret is None else self.interpret
 
 
+# Default pixels per grid step. ResNet's stage-level padding and the
+# per-block planning inside FusedBottleneckBlock must agree on this: both
+# route through plan_block's default so the padded pixel count matches.
+DEFAULT_SLAB_TARGET = 1024
+
+
 def plan_block(height: int, width: int, features: int, in_features: int,
                eps: float = 1e-5, proj: bool = False,
                interpret: Optional[bool] = None,
-               slab_target: int = 1024) -> BlockCfg:
+               slab_target: int = DEFAULT_SLAB_TARGET) -> BlockCfg:
     """Pick a slab decomposition: ~slab_target pixels, 8-aligned, halo-safe."""
     P = height * width
     nslab = max(1, round(P / slab_target))
     slab = -(-P // nslab // 8) * 8  # ceil to multiple of 8
     while slab < width + 1:  # halo must fit inside one slab
         nslab -= 1
+        if nslab == 0:
+            raise ValueError(
+                f"plane {height}x{width} too small for the {width + 1}-pixel"
+                " halo: no 8-aligned slab decomposition exists")
         slab = -(-P // nslab // 8) * 8
     return BlockCfg(height, width, features, in_features, slab, nslab,
                     eps=eps, proj=proj, interpret=interpret)

@@ -46,7 +46,7 @@ def _on_tpu() -> bool:
 
 def _shear_kernel(
     k_ref, f_ref, scale_ref, bias_ref, in_ref, out_ref, *,
-    nbits: int, wp: int, w_out: int, in_uint8: bool,
+    nbits: int, w_out: int, in_uint8: bool,
 ):
     """One plane: per-row lane shift by k (barrel of static rolls) + lerp.
 
@@ -115,7 +115,7 @@ def shear_pass(
     if bias is None:
         bias = jnp.zeros((p,), jnp.float32)
     kernel = functools.partial(
-        _shear_kernel, nbits=nbits, wp=wp, w_out=w_out,
+        _shear_kernel, nbits=nbits, w_out=w_out,
         in_uint8=(x.dtype == jnp.uint8),
     )
     return pl.pallas_call(
@@ -136,7 +136,7 @@ def shear_pass(
 
 def _shear_rows_kernel(
     k_ref, f_ref, jt_ref, jb_ref, in_ref, out_ref, *,
-    nbits: int, hp: int, h_out: int, pad_top: int, pad_bot: int,
+    nbits: int, h_out: int, pad_top: int, pad_bot: int,
 ):
     """Sublane (row-axis) shear: per-COLUMN shift by k (barrel of static
     rolls along axis 0) + lerp. Removes the two inter-pass transposes the
@@ -190,7 +190,7 @@ def shear_pass_rows(
     jt = jnp.eye(pad_top, dtype=jnp.float32)[::-1]
     jb = jnp.eye(pad_bot, dtype=jnp.float32)[::-1]
     kernel = functools.partial(
-        _shear_rows_kernel, nbits=nbits, hp=hp, h_out=h_out,
+        _shear_rows_kernel, nbits=nbits, h_out=h_out,
         pad_top=pad_top, pad_bot=pad_bot,
     )
     return pl.pallas_call(
@@ -211,7 +211,7 @@ def shear_pass_rows(
 
 def _shear_finish_kernel(
     k_ref, f_ref, scale_ref, bias_ref, flags_ref, j_ref, jl_ref, jr_ref,
-    in_ref, out_ref, *, nbits: int, wp: int, w_out: int,
+    in_ref, out_ref, *, nbits: int, w_out: int,
     pad_left: int, pad_right: int,
 ):
     """Final x-shear + normalize + row/col reversal dihedral bits.
@@ -282,7 +282,7 @@ def shear_pass_finish(
     jl = jnp.eye(pad_left, dtype=jnp.float32)[::-1]
     jr = jnp.eye(pad_right, dtype=jnp.float32)[::-1]
     kernel = functools.partial(
-        _shear_finish_kernel, nbits=nbits, wp=wp, w_out=w_out,
+        _shear_finish_kernel, nbits=nbits, w_out=w_out,
         pad_left=pad_left, pad_right=pad_right,
     )
     return pl.pallas_call(
@@ -520,11 +520,13 @@ def augment_batch_shear(
 
     Returns [B, G, crop, crop, C] normalized out_dtype NHWC views.
 
-    The dihedral part (rot90 + flips) is FOLDED to the output side via the
-    conjugation D^-1 R(phi) D = R(det(D) phi): the shears run directly on
-    the raw uint8 planes with a sign-adjusted residual angle and
-    transformed crop offsets, and the dihedral applies to the 364^2 crop
-    (2x less data than pre-transforming the 512^2 source).
+    The dihedral part (rot90 + flips) never runs as standalone tensor ops:
+    via the conjugation R(phi) D = D R(det(D) phi) the shears see only a
+    sign-adjusted residual angle and transformed crop offsets. Of the
+    dihedral bits themselves, the transpose bit is applied to the cheap
+    uint8 INPUT planes (T . S_{phi,(oy,ox)} = S_{-phi,(ox,oy)} . T), and
+    the two reversal bits ride the final shear kernel as antidiagonal
+    matmuls on the MXU — nothing dihedral remains on the f32 output side.
     """
     from rxtpu.ops.warp import sample_affine_params
 

@@ -108,3 +108,35 @@ def test_get_augment_fn():
     assert get_augment_fn("gather") is augment_batch
     with pytest.raises(ValueError):
         get_augment_fn("nope")
+
+
+def test_v1_transpose_pipeline_matches_fused():
+    """Pin the v1 (transpose-based) 3-pass pipeline to the fused one.
+
+    rotate_crop_normalize is kept as the readable reference formulation of
+    rotate_crop_normalize_fused; this parity test keeps it from rotting.
+    Also pins apply_dihedral_bits (output-side) against the reversal bits
+    folded into the fused finish kernel.
+    """
+    from rxtpu.ops.shear import (
+        apply_dihedral_bits, rotate_crop_normalize, rotate_crop_normalize_fused)
+
+    rng = np.random.default_rng(5)
+    p = 4
+    planes = jnp.asarray(
+        rng.integers(0, 256, size=(p, SRC, SRC), dtype=np.uint8))
+    phi = jnp.asarray(rng.uniform(-np.pi / 4, np.pi / 4, p).astype(np.float32))
+    crop_yx = jnp.asarray(
+        rng.integers(0, SRC - CROP + 1, size=(p, 2)).astype(np.int32))
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, p).astype(np.float32))
+    bias = jnp.asarray(rng.uniform(-1.0, 1.0, p).astype(np.float32))
+    rrev = jnp.asarray([False, True, False, True])
+    crev = jnp.asarray([False, False, True, True])
+
+    v1 = rotate_crop_normalize(planes, phi, crop_yx, CROP, scale, bias)
+    v1 = apply_dihedral_bits(
+        v1, jnp.zeros(p, bool), rrev, crev)  # swap handled input-side
+    fused = rotate_crop_normalize_fused(
+        planes, phi, crop_yx, CROP, scale, bias, rrev, crev)
+    np.testing.assert_allclose(
+        np.asarray(v1), np.asarray(fused), atol=2e-3, rtol=0)
