@@ -45,8 +45,8 @@ def _on_tpu() -> bool:
 
 
 def _shear_kernel(
-    k_ref, f_ref, scale_ref, bias_ref, in_ref, out_ref, *,
-    nbits: int, w_out: int, in_uint8: bool,
+    k_ref, f_ref, scale_ref, bias_ref, jl_ref, jr_ref, in_ref, out_ref, *,
+    nbits: int, w_out: int, in_uint8: bool, pad_left: int, pad_right: int,
 ):
     """One plane: per-row lane shift by k (barrel of static rolls) + lerp.
 
@@ -54,12 +54,24 @@ def _shear_kernel(
     then * scale + bias (per-plane normalization). Inputs/outputs may be
     uint8/bf16 (halves HBM traffic); the barrel runs in f32 in VMEM —
     Mosaic's dynamic rotate only supports 32-bit lanes.
+
+    The reflect-101 borders are built IN-KERNEL via antidiagonal matmuls
+    (as in _shear_rows_kernel/_shear_finish_kernel): an XLA-side
+    jnp.pad(mode="reflect") lowers to reverse+concat and round-trips the
+    padded array through HBM (~1.5 ms/step measured at bs32 on uint8
+    512^2 inputs).
     """
-    x = in_ref[0]
+    raw = in_ref[0]
     if in_uint8:
-        x = x.astype(jnp.int32).astype(jnp.float32)
+        raw = raw.astype(jnp.int32).astype(jnp.float32)
     else:
-        x = x.astype(jnp.float32)
+        raw = raw.astype(jnp.float32)
+    w = raw.shape[1]
+    left = jax.lax.dot(raw[:, 1:pad_left + 1], jl_ref[...],
+                       preferred_element_type=jnp.float32)
+    right = jax.lax.dot(raw[:, w - pad_right - 1:w - 1], jr_ref[...],
+                        preferred_element_type=jnp.float32)
+    x = jnp.concatenate([left, raw, right], axis=1)
     k = k_ref[0, :, 0]
     # MSB-first barrel with window shrinking: after applying bit b, any
     # remaining per-row rotation is < 2^b, so lanes beyond
@@ -96,14 +108,14 @@ def shear_pass(
     """Fractional per-row lane shift with reflect-101 borders -> [P, H, w_out].
 
     ``shift`` may range in [-pad_left, pad_right + (W - w_out) - 1]; the
-    input is reflect-padded and the integer part of the shift is applied by
-    a barrel of static rolls inside a Pallas kernel.
+    reflect borders are mirrored in-kernel (single reflection: pads must
+    satisfy ``pad < W - 1``, which `_pads` guarantees) and the integer
+    part of the shift is applied by a barrel of static rolls.
     """
     p, h, w = x.shape
     wp = w + pad_left + pad_right
     if interpret is None:
         interpret = not _on_tpu()
-    xpad = jnp.pad(x, ((0, 0), (0, 0), (pad_left, pad_right)), mode="reflect")
     kf = jnp.floor(shift)
     k = (kf.astype(jnp.int32) + pad_left).reshape(p, h, 1)
     kmax = wp - w_out - 1
@@ -114,9 +126,12 @@ def shear_pass(
         scale = jnp.ones((p,), jnp.float32)
     if bias is None:
         bias = jnp.zeros((p,), jnp.float32)
+    jl = jnp.eye(pad_left, dtype=jnp.float32)[::-1]
+    jr = jnp.eye(pad_right, dtype=jnp.float32)[::-1]
     kernel = functools.partial(
         _shear_kernel, nbits=nbits, w_out=w_out,
         in_uint8=(x.dtype == jnp.uint8),
+        pad_left=pad_left, pad_right=pad_right,
     )
     return pl.pallas_call(
         kernel,
@@ -126,12 +141,14 @@ def shear_pass(
             pl.BlockSpec((1, h, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pad_left, pad_left), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pad_right, pad_right), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, h, w_out), out_dtype),
         interpret=interpret,
-    )(k, f, scale.reshape(p, 1, 1), bias.reshape(p, 1, 1), xpad)
+    )(k, f, scale.reshape(p, 1, 1), bias.reshape(p, 1, 1), jl, jr, x)
 
 
 def _shear_rows_kernel(

@@ -33,15 +33,18 @@ def test_decompose_angle():
 
 
 def test_shear_pass_golden():
+    # pads obey the single-mirror invariant pad < W - 1 (see _pads)
     rng = np.random.default_rng(0)
+    pad = 56
     x = rng.uniform(0, 1, (2, 16, 64)).astype(np.float32)
     shift = rng.uniform(-10, 10, (2, 16)).astype(np.float32)
-    out = np.asarray(shear_pass(jnp.asarray(x), jnp.asarray(shift), 48, 64, 64))
-    xp = np.pad(x, ((0, 0), (0, 0), (64, 64)), mode="reflect")
+    out = np.asarray(
+        shear_pass(jnp.asarray(x), jnp.asarray(shift), 48, pad, pad))
+    xp = np.pad(x, ((0, 0), (0, 0), (pad, pad)), mode="reflect")
     for p in range(2):
         for r in range(16):
             t = shift[p, r]
-            k, f = int(np.floor(t)) + 64, t - np.floor(t)
+            k, f = int(np.floor(t)) + pad, t - np.floor(t)
             want = xp[p, r, k : k + 48] * (1 - f) + xp[p, r, k + 1 : k + 49] * f
             np.testing.assert_allclose(out[p, r], want, atol=1e-5)
 
