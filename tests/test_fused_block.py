@@ -189,3 +189,8 @@ def test_resnet_fuse_flag_matches_standard():
     y_es = model_std.apply(vs, x, train=False)
     y_ef = model_fus.apply(vs, x, train=False)
     np.testing.assert_array_equal(np.asarray(y_es), np.asarray(y_ef))
+
+
+def test_plan_block_rejects_planes_smaller_than_halo():
+    with pytest.raises(ValueError, match="halo"):
+        plan_block(1, 32, 8, 16)  # P=32 < width+1=33: no valid slab
