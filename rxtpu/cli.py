@@ -190,6 +190,19 @@ def _probe_src_size(cfg, index, pack: Optional[str] = None) -> int:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_argparser().parse_args(argv)
+
+    # multi-host pod slice: must initialize BEFORE any other jax use —
+    # including resolve_config's backend query — so jax.devices() sees the
+    # whole slice (SURVEY §5 distributed backend)
+    if args.distributed:
+        from rxtpu.parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
     cfg = resolve_config(args)
 
     import jax
@@ -211,17 +224,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         run_training,
     )
 
-    # multi-host pod slice: must initialize BEFORE any other jax use so
-    # jax.devices() sees the whole slice (SURVEY §5 distributed backend;
-    # the reference's single-host DataParallel has no equivalent step)
-    if args.distributed:
-        from rxtpu.parallel import initialize_distributed
-
-        initialize_distributed(
-            coordinator_address=args.coordinator_address,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
-        )
     num_hosts, host_id = jax.process_count(), jax.process_index()
 
     n_devices = jax.device_count()
@@ -255,8 +257,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                     df, cfg.train.val_fraction, cfg.train.split_seed
                 )
         if cfg.train.nb_examples is not None:  # main.py:115-117
-            df_train = df_train[: cfg.train.nb_examples]
-            df_val = df_val[: cfg.train.nb_examples]
+            # the reference caps to the GLOBAL batch (main.py:54,67): keep
+            # at least one full global batch so multi-device --debug still
+            # trains a step (drop_last would otherwise yield 0 batches)
+            cap = max(cfg.train.nb_examples, global_bs)
+            df_train = df_train[:cap]
+            df_val = df_val[:cap]
         print(f"Size training dataset: {len(df_train)}")
         print(f"Size validation dataset: {len(df_val)}")
 
@@ -369,15 +375,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     idx_test_all = load_metadata(df_test, df_controls_test, "test")
     src_size = _probe_src_size(cfg, idx_test_all, pack=args.pack)
 
-    all_preds = []
+    if args.pack:
+        from rxtpu.data.pack import PackStore
+
+        # one mmap for the whole split: PackStore is lazy, so unlike the
+        # ByteStore branch there is no per-experiment RAM reason to rebuild
+        pack_store_test = PackStore(os.path.join(args.pack, "test.rxpack"))
+
+    pred_by_id = {}
     for i, experiment in enumerate(experiments):
         # per-experiment byte store, mirroring the reference's per-experiment
         # ImagesDS (main.py:176-181) so test RAM stays one experiment wide
         idx_exp = idx_test_all.for_experiment(experiment)
         if args.pack:
-            from rxtpu.data.pack import PackStore
-
-            store_exp = PackStore(os.path.join(args.pack, "test.rxpack"))
+            store_exp = pack_store_test
         else:
             store_exp = ByteStore(
                 idx_exp, cfg.data.path_data, cfg.data.image_ext,
@@ -411,9 +422,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
         else:
             preds = rescale(probs).argmax(axis=1).astype(np.float64)
-        all_preds.append(preds)
+        pred_by_id.update(zip(ids, preds))
 
-    preds = np.concatenate(all_preds, axis=0)
+    # align by id_code, not position: test.csv rows need not be contiguous
+    # by experiment
+    preds = np.asarray([pred_by_id[i] for i in df_test["id_code"]])
     path = write_submission(df_test, preds, cfg.experiment_id, args.out_dir)
     print(f"wrote {path}")
     return 0

@@ -100,7 +100,11 @@ def write_pack(
                             image_path(img_dir, index.split, r.experiment,
                                        r.plate, r.well, site, ch, ext)
                         )
-            planes = decode_files(paths, h, w, nthreads=decoder_threads)
+            # strict: a corrupt source image must fail here, not be baked
+            # into the pack as silent all-zero planes (same fail-loud
+            # invariant as Pipeline._make_batch)
+            planes = decode_files(paths, h, w, nthreads=decoder_threads,
+                                  strict=True)
             planes = planes.reshape(len(keys), c, h, w)
             for k, view in zip(keys, planes):
                 entries[k] = ordinal

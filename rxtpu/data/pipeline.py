@@ -217,7 +217,13 @@ class Pipeline:
         labels = np.zeros(bs, np.int32)
         exp_ids = np.zeros(bs, np.int32)
         valid = np.zeros(bs, np.float32)
-        id_codes: List[str] = []
+        # id_codes span the GLOBAL batch on every host (a host-side python
+        # list, never device-put): the prediction path keeps/aligns rows by
+        # id without reading back the sharded `valid` array on a pod
+        id_codes: List[str] = [
+            recs[i].id_code if i < n_real else ""
+            for i in range(self.batch_size)
+        ]
         for k, i in enumerate(range(lo, hi)):
             r = recs[i] if i < n_real else recs[0]  # pad with sample 0, masked
             keys = self._view_keys(r, self._sample_rng(epoch, row0 + i))
@@ -232,7 +238,6 @@ class Pipeline:
             labels[k] = r.sirna
             exp_ids[k] = self._exp_index[r.experiment]
             valid[k] = 1.0 if i < n_real else 0.0
-            id_codes.append(r.id_code if i < n_real else "")
         if decoded:
             images = np.empty((bs, g, c, s, s), np.uint8)
             for i, keys in enumerate(view_lists):
@@ -269,8 +274,10 @@ class Pipeline:
         return rng.permutation(n)
 
     def _host_rows(self):
-        per_host = self.batch_size // self.num_hosts
-        return self.host_id * per_host, (self.host_id + 1) * per_host
+        # the sharding contract lives in one place: parallel.multihost
+        from rxtpu.parallel.multihost import host_shard_bounds
+
+        return host_shard_bounds(self.batch_size, self.num_hosts, self.host_id)
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """Yield this host's batch slices, decoded ahead by a background thread."""
@@ -332,26 +339,35 @@ class _NpRandom:
         return int(self._rng.integers(0, n))
 
 
-def device_prefetch(host_iter: Iterator[Dict[str, np.ndarray]], device=None):
-    """Keep one batch's host->device transfer in flight ahead of consumption.
+def double_buffer(host_iter: Iterator, put_fn):
+    """Yield ``put_fn(batch)`` one batch AHEAD of consumption.
 
-    jax.device_put is async: by putting batch k+1 before yielding batch k,
-    the PCIe/ICI copy overlaps the model step (double buffering). Non-array
-    entries (id_codes) pass through on host.
+    device_put / make_array_from_process_local_data are async: by putting
+    batch k+1 before yielding batch k, the host->device copy overlaps the
+    model step. The single buffering policy shared by device_prefetch,
+    sharded_prefetch and multihost_prefetch.
     """
-    import jax
-
-    def put(b):
-        out = {}
-        for k, v in b.items():
-            out[k] = jax.device_put(v, device) if isinstance(v, np.ndarray) else v
-        return out
-
     prev = None
     for batch in host_iter:
-        cur = put(batch)
+        cur = put_fn(batch)
         if prev is not None:
             yield prev
         prev = cur
     if prev is not None:
         yield prev
+
+
+def device_prefetch(host_iter: Iterator[Dict[str, np.ndarray]], device=None):
+    """Keep one batch's host->device transfer in flight ahead of consumption.
+
+    Non-array entries (id_codes) pass through on host.
+    """
+    import jax
+
+    def put(b):
+        return {
+            k: jax.device_put(v, device) if isinstance(v, np.ndarray) else v
+            for k, v in b.items()
+        }
+
+    return double_buffer(host_iter, put)

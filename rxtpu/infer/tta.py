@@ -99,10 +99,32 @@ def predict_dataset(
     )
     all_probs, all_ids = [], []
     for batch in put(pipe.epoch(0)):
+        # id_codes span the GLOBAL batch on every host (Pipeline metadata
+        # contract) — padding rows are "", so the keep mask needs no
+        # device readback of the sharded `valid` array
         id_codes = batch.pop("id_codes")
-        valid = np.asarray(batch.pop("valid"))
-        probs = np.asarray(step(state, batch))
-        keep = valid > 0
+        batch.pop("valid", None)
+        probs = _to_host(step(state, batch))
+        keep = np.asarray([i != "" for i in id_codes])
         all_probs.append(probs[keep])
-        all_ids.extend([i for i, k in zip(id_codes, keep) if k])
+        all_ids.extend([i for i in id_codes if i != ""])
     return np.concatenate(all_probs, axis=0), all_ids
+
+
+def _to_host(x) -> np.ndarray:
+    """Materialize a (possibly globally-sharded) array on this host.
+
+    On a pod the predict step's output spans non-addressable devices;
+    replicate it across processes (collective: every host calls this on
+    the same value) before reading.
+    """
+    try:
+        return np.asarray(x)
+    except RuntimeError:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = jax.jit(
+            lambda a: a, out_shardings=NamedSharding(x.sharding.mesh, P())
+        )(x)
+        return np.asarray(rep)

@@ -87,11 +87,6 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
 
 def sharded_prefetch(host_iter, mesh: Mesh):
     """Double-buffered sharded device feed (the DP version of device_prefetch)."""
-    prev = None
-    for batch in host_iter:
-        cur = shard_batch(batch, mesh)
-        if prev is not None:
-            yield prev
-        prev = cur
-    if prev is not None:
-        yield prev
+    from rxtpu.data.pipeline import double_buffer
+
+    return double_buffer(host_iter, lambda b: shard_batch(b, mesh))

@@ -86,18 +86,21 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        pass  # already initialized, or single-process environment
+    except RuntimeError as e:
+        # tolerate only double-init; a swallowed real failure (wrong
+        # coordinator address, backend initialized too early) would
+        # silently degrade the pod to independent single-process runs
+        if "already initialized" not in str(e).lower():
+            raise
+    except ValueError:
+        if coordinator_address or num_processes or process_id:
+            raise  # explicit cluster args that don't parse are an error
+        pass  # auto-detect outside any cluster: single-process environment
     return jax.process_index()
 
 
 def multihost_prefetch(host_iter: Iterator[Dict[str, np.ndarray]], mesh):
     """Double-buffered multi-host device feed (drop-in for sharded_prefetch)."""
-    prev = None
-    for batch in host_iter:
-        cur = assemble_global_batch(batch, mesh)
-        if prev is not None:
-            yield prev
-        prev = cur
-    if prev is not None:
-        yield prev
+    from rxtpu.data.pipeline import double_buffer
+
+    return double_buffer(host_iter, lambda b: assemble_global_batch(b, mesh))

@@ -151,6 +151,11 @@ def run_training(
             )
             logger.log(0, val_m, prefix="validation")
 
+        # host-side step counter: reading state.step (or any same-step
+        # output) every iteration would block dispatch on a full device
+        # round-trip per step (~32 ms on relay-attached chips)
+        step_i = int(state.step)
+
         for epoch in range(start_epoch, cfg.train.nb_epochs + 1):
             trainable = backbone_trainable_at_epoch(
                 epoch, cfg.model.pretrained, cfg.train.freeze_head_only_epochs
@@ -164,6 +169,8 @@ def run_training(
             timer.reset()
             it = put(train_pipe.epoch(epoch))
             pbar = _progress_bar(len(train_pipe), epoch)
+            prev_m = None
+            prev_loss = float("nan")
             while True:
                 with timer.waiting():
                     batch = next(it, None)
@@ -173,15 +180,21 @@ def run_training(
                 batch.pop("valid", None)
                 with timer.stepping():
                     state, m = train_step(state, batch, base_key, flag)
-                    step_i = int(state.step)
+                    step_i += 1
+                    if prev_m is not None:
+                        # lag-one readback: blocks until step i-1 finished
+                        # (keeps the stepping timer ~= device step time)
+                        # without draining the pipeline on step i
+                        prev_loss = float(prev_m["loss"])
+                    prev_m = m
                 if pbar is not None:
                     pbar.update(1)
-                    pbar.set_postfix(loss=f"{float(m['loss']):.3f}", refresh=False)
+                    pbar.set_postfix(loss=f"{prev_loss:.3f}", refresh=False)
                 if step_i % cfg.train.log_every_steps == 0:
                     logger.log(step_i, {k: float(v) for k, v in m.items()}, prefix="training")
             if pbar is not None:
                 pbar.close()
-            logger.log(int(state.step), timer.summary(), prefix="perf")
+            logger.log(step_i, timer.summary(), prefix="perf")
 
             val_m = evaluate(eval_step, state, val_pipe, put)
             improved = ckpt.update(val_m["accuracy"], checkpoint_payload(state))
@@ -191,7 +204,7 @@ def run_training(
                 f"Validation Results - Epoch: {epoch} Average Loss: {val_m['loss']:.4f} "
                 f"| Accuracy: {val_m['accuracy']:.4f}"
             )
-            logger.log(int(state.step), val_m, prefix="validation")
+            logger.log(step_i, val_m, prefix="validation")
             history.append({"epoch": epoch, **val_m, **timer.summary()})
 
             # EarlyStopping(patience) on val accuracy (train.py:74-80).

@@ -77,6 +77,14 @@ with mesh:
     batch = next(it)
     _, m = step(state, batch, jax.random.PRNGKey(1), jnp.asarray(True))
     print("LOSS", repr(float(m["loss"])))
+
+    # multi-host predict path: sharded step output gathered to every host,
+    # keep-mask derived from the global id_codes metadata
+    from rxtpu.infer import predict_dataset
+    pipe_t = Pipeline(idx, store, stats, BS, "test", src_size=SRC, seed=7,
+                      shuffle=False, drop_last=False, num_hosts=2, host_id=pid)
+    probs, ids = predict_dataset(model, state, pipe_t, CROP, put=put)
+    print("PRED", len(ids), repr(float(np.asarray(probs, np.float64).sum())))
 """
 
 
@@ -126,6 +134,16 @@ def test_two_process_distributed_feed(synthetic_root, tmp_path):
     # both controllers see the same replicated loss
     assert losses[0] == pytest.approx(losses[1], abs=1e-6), losses
 
+    # both controllers ran predict and gathered IDENTICAL global results
+    preds = []
+    for o in outs:
+        lines = [l for l in o.splitlines() if l.startswith("PRED ")]
+        assert lines, f"worker produced no predictions:\n{o[-2000:]}"
+        _, n, ssum = lines[-1].split(" ", 2)
+        preds.append((int(n), float(ssum.strip("'\""))))
+    assert preds[0] == preds[1], preds
+    assert preds[0][0] > 0
+
     # and it matches the single-process global batch exactly (the pipeline
     # slicing is bit-identical, so only collective math could differ)
     import jax
@@ -163,3 +181,14 @@ def test_two_process_distributed_feed(synthetic_root, tmp_path):
                     jnp.asarray(True))
     assert losses[0] == pytest.approx(float(m["loss"]), rel=1e-5), (
         losses, float(m["loss"]))
+
+    # the gathered multi-host predictions match a single-process predict
+    from rxtpu.infer import predict_dataset
+
+    pipe_t = Pipeline(idx, store, stats, BS, "test", src_size=SRC, seed=7,
+                      shuffle=False, drop_last=False)
+    with mesh:
+        probs_sp, ids_sp = predict_dataset(model, state, pipe_t, CROP)
+    assert preds[0][0] == len(ids_sp)
+    assert preds[0][1] == pytest.approx(
+        float(np.asarray(probs_sp, np.float64).sum()), rel=1e-4)

@@ -77,8 +77,9 @@ def test_host_sliced_pipeline_equals_global(pipe_parts):
         for key in ("images", "labels", "mean", "std", "valid"):
             got = np.concatenate([per_host[h][bi][key] for h in range(4)])
             np.testing.assert_array_equal(got, gb[key], err_msg=key)
-        got_ids = sum((per_host[h][bi]["id_codes"] for h in range(4)), [])
-        assert got_ids == gb["id_codes"]
+        # id_codes are GLOBAL metadata: every host yields the full list
+        for h in range(4):
+            assert per_host[h][bi]["id_codes"] == gb["id_codes"]
 
 
 def test_sliced_input_identical_step_numerics(pipe_parts, eight_cpu_devices):
