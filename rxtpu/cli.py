@@ -60,6 +60,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--crop-size", type=int, default=None)
     p.add_argument("--two-site-train", action="store_true",
                    help="train with both sites per view group (config 3)")
+    p.add_argument("--test-crop", type=int, default=None,
+                   help="center-crop test images to N before inference "
+                        "(default: none — the reference tests on full-size "
+                        "images; cropping is ~2x faster at 364)")
     p.add_argument("--tta", default="none", choices=["none", "flips", "dihedral"])
     p.add_argument("--tta-average", default="probs", choices=["probs", "logits"])
     p.add_argument("--calibrate", action="store_true",
@@ -405,11 +409,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                 return jax.nn.softmax(jnp.asarray(logits), axis=-1)
 
             probs, ids = predict_dataset(
-                model, state, pipe, cfg.data.crop_size, model_fn=dummy_step
+                model, state, pipe, args.test_crop, model_fn=dummy_step
             )
         else:
+            # reference parity: TEST images are normalized but NOT cropped
+            # (dataloader.py:128-139); --test-crop N opts into faster
+            # cropped inference
             probs, ids = predict_dataset(
-                model, state, pipe, cfg.data.crop_size, tta=args.tta, put=put,
+                model, state, pipe, args.test_crop, tta=args.tta, put=put,
                 tta_average=args.tta_average,
             )
         # rows arrive pipeline-ordered == df order (shuffle=False)

@@ -50,10 +50,19 @@ def _host_fingerprint() -> str:
 
 
 def _build_native() -> None:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB, "-ljpeg", "-lpthread"]
+    # compile to a per-process temp name and promote atomically: a second
+    # process (pytest next to a trainer, the 2-process distributed tests)
+    # must never dlopen a half-written .so. The .so is promoted before its
+    # .arch stamp — a reader between the two just sees a stale stamp and
+    # rebuilds, which is safe.
+    tmp = f"{_LIB}.build{os.getpid()}"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+           "-o", tmp, "-ljpeg", "-lpthread"]
     subprocess.run(cmd, check=True, capture_output=True)
-    with open(_LIB + ".arch", "w") as f:
+    with open(tmp + ".arch", "w") as f:
         f.write(_host_fingerprint())
+    os.replace(tmp, _LIB)
+    os.replace(tmp + ".arch", _LIB + ".arch")
 
 
 def _needs_rebuild() -> bool:
@@ -136,22 +145,40 @@ def decode_batch(
     if n == 0:
         return out
     lib = get_native_lib() if use_native else None
-    is_jpeg = buffers[0][:2] == b"\xff\xd8" if buffers[0] else False
-    if lib is None or not is_jpeg:
+    # route PER BUFFER: a mixed JPEG/PNG batch (e.g. a partially-converted
+    # dataset) must not push PNGs through libjpeg
+    jpeg = [len(b) >= 2 and b[:2] == b"\xff\xd8" for b in buffers]
+    if lib is None or not any(jpeg):
         failures = _decode_batch_cv2(buffers, out)
+    elif all(jpeg):
+        failures = _decode_batch_native(lib, buffers, out, nthreads)
     else:
-        data = b"".join(buffers)
-        lengths = np.array([len(b) for b in buffers], dtype=np.int64)
-        offsets = np.zeros(n, dtype=np.int64)
-        np.cumsum(lengths[:-1], out=offsets[1:])
-        arr = np.frombuffer(data, dtype=np.uint8)
-        failures = lib.rxtpu_decode_batch(
-            arr.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
-            n, out.ctypes.data, height, width, nthreads,
-        )
+        jp = [i for i, m in enumerate(jpeg) if m]
+        other = [i for i, m in enumerate(jpeg) if not m]
+        sub = np.empty((len(jp), height, width), dtype=np.uint8)
+        failures = _decode_batch_native(
+            lib, [buffers[i] for i in jp], sub, nthreads)
+        out[jp] = sub
+        sub = np.empty((len(other), height, width), dtype=np.uint8)
+        failures += _decode_batch_cv2([buffers[i] for i in other], sub)
+        out[other] = sub
     if strict and failures:
         raise ValueError(f"{failures}/{n} images failed to decode")
     return out
+
+
+def _decode_batch_native(lib, buffers: Sequence[bytes], out: np.ndarray,
+                         nthreads: int) -> int:
+    n = len(buffers)
+    data = b"".join(buffers)
+    lengths = np.array([len(b) for b in buffers], dtype=np.int64)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return lib.rxtpu_decode_batch(
+        arr.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
+        n, out.ctypes.data, out.shape[1], out.shape[2], nthreads,
+    )
 
 
 def decode_files(
@@ -177,51 +204,84 @@ def decode_files(
     if n == 0:
         return out
     lib = get_native_lib() if use_native else None
-    is_jpeg = paths[0].endswith((".jpeg", ".jpg"))
-    if lib is None or not is_jpeg:
-        import cv2
-
-        failures = 0
-        for i, p in enumerate(paths):
-            img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
-            if img is None or img.shape != out.shape[1:]:
-                out[i] = 0
-                failures += 1
-            else:
-                out[i] = img
+    # route PER PATH so a mixed jpeg/png file list decodes correctly
+    jpeg = [p.endswith((".jpeg", ".jpg")) for p in paths]
+    if lib is None or not any(jpeg):
+        failures = _decode_files_cv2(paths, out)
+    elif all(jpeg):
+        failures = _decode_files_native(lib, paths, out, nthreads)
     else:
-        blob = b"\0".join(p.encode() for p in paths) + b"\0"
-        offsets = np.zeros(n, dtype=np.int64)
-        lens = np.array([len(p.encode()) + 1 for p in paths], dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        failures = lib.rxtpu_decode_files(
-            blob, offsets.ctypes.data, n, out.ctypes.data, height, width, nthreads
-        )
+        jp = [i for i, m in enumerate(jpeg) if m]
+        other = [i for i, m in enumerate(jpeg) if not m]
+        sub = np.empty((len(jp), height, width), dtype=np.uint8)
+        failures = _decode_files_native(
+            lib, [paths[i] for i in jp], sub, nthreads)
+        out[jp] = sub
+        sub = np.empty((len(other), height, width), dtype=np.uint8)
+        failures += _decode_files_cv2([paths[i] for i in other], sub)
+        out[other] = sub
     if strict and failures:
         raise ValueError(f"{failures}/{n} files failed to read/decode")
     return out
+
+
+def _decode_files_cv2(paths: Sequence[str], out: np.ndarray) -> int:
+    import cv2
+
+    failures = 0
+    for i, p in enumerate(paths):
+        img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+        if img is None or img.shape != out.shape[1:]:
+            out[i] = 0
+            failures += 1
+        else:
+            out[i] = img
+    return failures
+
+
+def _decode_files_native(lib, paths: Sequence[str], out: np.ndarray,
+                         nthreads: int) -> int:
+    n = len(paths)
+    blob = b"\0".join(p.encode() for p in paths) + b"\0"
+    offsets = np.zeros(n, dtype=np.int64)
+    lens = np.array([len(p.encode()) + 1 for p in paths], dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    return lib.rxtpu_decode_files(
+        blob, offsets.ctypes.data, n, out.ctypes.data,
+        out.shape[1], out.shape[2], nthreads,
+    )
 
 
 def encode_batch_jpeg(
     planes: np.ndarray, quality: int = 95, nthreads: int = 0
 ) -> List[bytes]:
     """Encode uint8 [N, H, W] planes to grayscale JPEG buffers (quality 95
-    matching png_to_jpeg.py:16). Uses the native encoder when available."""
+    matching png_to_jpeg.py:16). Uses the native encoder when available.
+
+    Raises on any failed encode — a silently-empty buffer would be written
+    to disk as a 0-byte .jpeg and poison later runs.
+    """
     n, h, w = planes.shape
     lib = get_native_lib()
     if lib is None:
         import cv2
 
-        return [
-            cv2.imencode(".jpeg", planes[i], [cv2.IMWRITE_JPEG_QUALITY, quality])[1].tobytes()
-            for i in range(n)
-        ]
+        bufs = []
+        for i in range(n):
+            ok, enc = cv2.imencode(
+                ".jpeg", planes[i], [cv2.IMWRITE_JPEG_QUALITY, quality])
+            if not ok:
+                raise ValueError(f"jpeg encode failed for plane {i}")
+            bufs.append(enc.tobytes())
+        return bufs
     cap = h * w + 4096
     out = np.empty((n, cap), dtype=np.uint8)
     out_lengths = np.zeros(n, dtype=np.int64)
     planes = np.ascontiguousarray(planes)
-    lib.rxtpu_encode_batch(
+    failures = lib.rxtpu_encode_batch(
         planes.ctypes.data, n, h, w, quality,
         out.ctypes.data, cap, out_lengths.ctypes.data, nthreads,
     )
+    if failures:
+        raise ValueError(f"{failures}/{n} planes failed to encode")
     return [out[i, : out_lengths[i]].tobytes() for i in range(n)]

@@ -36,13 +36,16 @@ _TTA_VARIANTS: Dict[str, Callable[[jnp.ndarray], jnp.ndarray]] = {
 
 
 def make_tta_predict_step(
-    model, crop_size: int, tta: str = "none", average: str = "probs"
+    model, crop_size: Optional[int] = None, tta: str = "none",
+    average: str = "probs"
 ):
     """Build a jitted step: raw uint8 batch -> averaged softmax probs.
 
-    ``average``: 'probs' averages softmax outputs across variants;
-    'logits' averages pre-softmax logits (BASELINE config 3's
-    "flip/rotate TTA logit averaging") then softmaxes once.
+    ``crop_size=None`` matches the reference TEST transform (normalize
+    only, no crop — dataloader.py:128-139). ``average``: 'probs' averages
+    softmax outputs across variants; 'logits' averages pre-softmax logits
+    (BASELINE config 3's "flip/rotate TTA logit averaging") then
+    softmaxes once.
     """
     if tta == "none":
         variants = ["identity"]
@@ -80,7 +83,7 @@ def predict_dataset(
     model,
     state: TrainState,
     pipe: Pipeline,
-    crop_size: int,
+    crop_size: Optional[int] = None,
     tta: str = "none",
     put=None,
     model_fn: Optional[Callable] = None,

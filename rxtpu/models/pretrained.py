@@ -42,6 +42,22 @@ def _conv_oihw_to_hwio(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))
 
 
+def _make_setters(sd: Dict[str, np.ndarray]):
+    """(set_conv, set_bn) closures copying torch tensors into flax trees —
+    shared by the resnet and densenet porters."""
+
+    def set_conv(dst: Dict[str, Any], torch_key: str):
+        dst["kernel"] = _conv_oihw_to_hwio(sd[torch_key]).astype(dst["kernel"].dtype)
+
+    def set_bn(dst_p: Dict[str, Any], dst_s: Dict[str, Any], torch_prefix: str):
+        dst_p["scale"] = sd[f"{torch_prefix}.weight"].astype(dst_p["scale"].dtype)
+        dst_p["bias"] = sd[f"{torch_prefix}.bias"].astype(dst_p["bias"].dtype)
+        dst_s["mean"] = sd[f"{torch_prefix}.running_mean"].astype(dst_s["mean"].dtype)
+        dst_s["var"] = sd[f"{torch_prefix}.running_var"].astype(dst_s["var"].dtype)
+
+    return set_conv, set_bn
+
+
 _RESNET50_STAGES = [3, 4, 6, 3]
 
 # stage sizes + convs-per-block for every portable torchvision resnet
@@ -105,14 +121,7 @@ def _port_torch_resnet(
     p = params[backbone_scope]
     bs = batch_stats[backbone_scope]
 
-    def set_conv(dst: Dict[str, Any], torch_key: str):
-        dst["kernel"] = _conv_oihw_to_hwio(sd[torch_key]).astype(dst["kernel"].dtype)
-
-    def set_bn(dst_p: Dict[str, Any], dst_s: Dict[str, Any], torch_prefix: str):
-        dst_p["scale"] = sd[f"{torch_prefix}.weight"].astype(dst_p["scale"].dtype)
-        dst_p["bias"] = sd[f"{torch_prefix}.bias"].astype(dst_p["bias"].dtype)
-        dst_s["mean"] = sd[f"{torch_prefix}.running_mean"].astype(dst_s["mean"].dtype)
-        dst_s["var"] = sd[f"{torch_prefix}.running_var"].astype(dst_s["var"].dtype)
+    set_conv, set_bn = _make_setters(sd)
 
     # Stem: 6-channel replication rule.
     rgb = _conv_oihw_to_hwio(sd["conv1.weight"])
@@ -170,14 +179,7 @@ def port_torch_densenet121(
     p = params[backbone_scope]
     bs = batch_stats[backbone_scope]
 
-    def set_conv(dst: Dict[str, Any], torch_key: str):
-        dst["kernel"] = _conv_oihw_to_hwio(sd[torch_key]).astype(dst["kernel"].dtype)
-
-    def set_bn(dst_p: Dict[str, Any], dst_s: Dict[str, Any], torch_prefix: str):
-        dst_p["scale"] = sd[f"{torch_prefix}.weight"].astype(dst_p["scale"].dtype)
-        dst_p["bias"] = sd[f"{torch_prefix}.bias"].astype(dst_p["bias"].dtype)
-        dst_s["mean"] = sd[f"{torch_prefix}.running_mean"].astype(dst_s["mean"].dtype)
-        dst_s["var"] = sd[f"{torch_prefix}.running_var"].astype(dst_s["var"].dtype)
+    set_conv, set_bn = _make_setters(sd)
 
     rgb = _conv_oihw_to_hwio(sd["features.conv0.weight"])
     p["conv_init"]["kernel"] = stem_kernel_from_rgb(rgb, nb_channels).astype(

@@ -37,7 +37,7 @@ void error_exit(j_common_ptr cinfo) {
 void silent_output(j_common_ptr) {}  // keep libjpeg warnings off stderr
 
 // Decode one grayscale JPEG buffer into out[h*w]; returns 0 on success,
-// negative on failure, positive (actual dims packed) on size mismatch.
+// negative on failure.
 int decode_one(const uint8_t* buf, size_t len, uint8_t* out, int out_h,
                int out_w) {
   jpeg_decompress_struct cinfo;
@@ -72,6 +72,68 @@ int decode_one(const uint8_t* buf, size_t len, uint8_t* out, int out_h,
   return 0;
 }
 
+// Encode one grayscale plane to a libjpeg-allocated buffer (*mem). The
+// caller owns *mem and must free it (also on failure, if non-null).
+// *mem/*mem_size live in the CALLER's frame: locals of the function that
+// contains setjmp must not be modified between setjmp and longjmp (UB),
+// so the jpeg-managed output pointer is threaded in from outside.
+int encode_one(const uint8_t* src, int h, int w, int quality,
+               unsigned char** mem, unsigned long* mem_size) {
+  jpeg_compress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.output_message = silent_output;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, mem, mem_size);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = 1;
+  cinfo.in_color_space = JCS_GRAYSCALE;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<uint8_t*>(src) +
+                   static_cast<size_t>(cinfo.next_scanline) * w;
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  return 0;
+}
+
+// Shared thread-pool policy: clamp nthreads, hand out items via an atomic
+// counter, count failures. fn(i, scratch) returns true on success;
+// `scratch` is a per-thread reusable byte buffer (file reads).
+template <typename F>
+int run_pool(int n, int nthreads, F&& fn) {
+  if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > n) nthreads = n;
+  std::atomic<int> next(0), failures(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> scratch;
+    int i;
+    while ((i = next.fetch_add(1)) < n) {
+      if (!fn(i, scratch)) failures.fetch_add(1);
+    }
+  };
+  if (nthreads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(nthreads);
+    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failures.load();
+}
+
 }  // namespace
 
 extern "C" {
@@ -82,32 +144,14 @@ extern "C" {
 int rxtpu_decode_batch(const uint8_t* data, const int64_t* offsets,
                        const int64_t* lengths, int n, uint8_t* out, int out_h,
                        int out_w, int nthreads) {
-  if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
-  if (nthreads < 1) nthreads = 1;
-  if (nthreads > n) nthreads = n;
-  std::atomic<int> next(0), failures(0);
   const size_t plane = static_cast<size_t>(out_h) * out_w;
-  auto worker = [&]() {
-    int i;
-    while ((i = next.fetch_add(1)) < n) {
-      uint8_t* dst = out + plane * i;
-      int rc = decode_one(data + offsets[i], static_cast<size_t>(lengths[i]),
-                          dst, out_h, out_w);
-      if (rc != 0) {
-        std::memset(dst, 0, plane);
-        failures.fetch_add(1);
-      }
-    }
-  };
-  if (nthreads == 1) {
-    worker();
-  } else {
-    std::vector<std::thread> pool;
-    pool.reserve(nthreads);
-    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
-    for (auto& th : pool) th.join();
-  }
-  return failures.load();
+  return run_pool(n, nthreads, [&](int i, std::vector<uint8_t>&) {
+    uint8_t* dst = out + plane * i;
+    int rc = decode_one(data + offsets[i], static_cast<size_t>(lengths[i]),
+                        dst, out_h, out_w);
+    if (rc != 0) std::memset(dst, 0, plane);
+    return rc == 0;
+  });
 }
 
 // Read + decode n grayscale JPEG FILES into out[n, out_h, out_w]: the whole
@@ -117,48 +161,29 @@ int rxtpu_decode_batch(const uint8_t* data, const int64_t* offsets,
 // failed slots zero-fill.
 int rxtpu_decode_files(const char* paths, const int64_t* path_offsets, int n,
                        uint8_t* out, int out_h, int out_w, int nthreads) {
-  if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
-  if (nthreads < 1) nthreads = 1;
-  if (nthreads > n) nthreads = n;
-  std::atomic<int> next(0), failures(0);
   const size_t plane = static_cast<size_t>(out_h) * out_w;
-  auto worker = [&]() {
-    std::vector<uint8_t> buf;
-    int i;
-    while ((i = next.fetch_add(1)) < n) {
-      uint8_t* dst = out + plane * i;
-      const char* path = paths + path_offsets[i];
-      FILE* f = fopen(path, "rb");
-      bool ok = false;
-      if (f) {
-        fseek(f, 0, SEEK_END);
-        long sz = ftell(f);
-        fseek(f, 0, SEEK_SET);
-        if (sz > 0) {
-          buf.resize(static_cast<size_t>(sz));
-          if (fread(buf.data(), 1, static_cast<size_t>(sz), f) ==
-              static_cast<size_t>(sz)) {
-            ok = decode_one(buf.data(), static_cast<size_t>(sz), dst, out_h,
-                            out_w) == 0;
-          }
+  return run_pool(n, nthreads, [&](int i, std::vector<uint8_t>& buf) {
+    uint8_t* dst = out + plane * i;
+    const char* path = paths + path_offsets[i];
+    FILE* f = fopen(path, "rb");
+    bool ok = false;
+    if (f) {
+      fseek(f, 0, SEEK_END);
+      long sz = ftell(f);
+      fseek(f, 0, SEEK_SET);
+      if (sz > 0) {
+        buf.resize(static_cast<size_t>(sz));
+        if (fread(buf.data(), 1, static_cast<size_t>(sz), f) ==
+            static_cast<size_t>(sz)) {
+          ok = decode_one(buf.data(), static_cast<size_t>(sz), dst, out_h,
+                          out_w) == 0;
         }
-        fclose(f);
       }
-      if (!ok) {
-        std::memset(dst, 0, plane);
-        failures.fetch_add(1);
-      }
+      fclose(f);
     }
-  };
-  if (nthreads == 1) {
-    worker();
-  } else {
-    std::vector<std::thread> pool;
-    pool.reserve(nthreads);
-    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
-    for (auto& th : pool) th.join();
-  }
-  return failures.load();
+    if (!ok) std::memset(dst, 0, plane);
+    return ok;
+  });
 }
 
 // Encode n grayscale planes in[n, h, w] to JPEG (quality q) into per-slot
@@ -167,64 +192,21 @@ int rxtpu_decode_files(const char* paths, const int64_t* path_offsets, int n,
 int rxtpu_encode_batch(const uint8_t* in, int n, int h, int w, int quality,
                        uint8_t* out, int64_t cap, int64_t* out_lengths,
                        int nthreads) {
-  if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
-  if (nthreads < 1) nthreads = 1;
-  if (nthreads > n) nthreads = n;
-  std::atomic<int> next(0), failures(0);
   const size_t plane = static_cast<size_t>(h) * w;
-  auto worker = [&]() {
-    int i;
-    while ((i = next.fetch_add(1)) < n) {
-      jpeg_compress_struct cinfo;
-      ErrorMgr jerr;
-      cinfo.err = jpeg_std_error(&jerr.pub);
-      jerr.pub.error_exit = error_exit;
-      jerr.pub.output_message = silent_output;
-      unsigned char* mem = nullptr;
-      unsigned long mem_size = 0;
-      if (setjmp(jerr.jump)) {
-        jpeg_destroy_compress(&cinfo);
-        if (mem) free(mem);
-        out_lengths[i] = 0;
-        failures.fetch_add(1);
-        continue;
-      }
-      jpeg_create_compress(&cinfo);
-      jpeg_mem_dest(&cinfo, &mem, &mem_size);
-      cinfo.image_width = w;
-      cinfo.image_height = h;
-      cinfo.input_components = 1;
-      cinfo.in_color_space = JCS_GRAYSCALE;
-      jpeg_set_defaults(&cinfo);
-      jpeg_set_quality(&cinfo, quality, TRUE);
-      jpeg_start_compress(&cinfo, TRUE);
-      const uint8_t* src = in + plane * i;
-      while (cinfo.next_scanline < cinfo.image_height) {
-        JSAMPROW row = const_cast<uint8_t*>(src) +
-                       static_cast<size_t>(cinfo.next_scanline) * w;
-        jpeg_write_scanlines(&cinfo, &row, 1);
-      }
-      jpeg_finish_compress(&cinfo);
-      jpeg_destroy_compress(&cinfo);
-      if (static_cast<int64_t>(mem_size) <= cap) {
-        std::memcpy(out + static_cast<size_t>(cap) * i, mem, mem_size);
-        out_lengths[i] = static_cast<int64_t>(mem_size);
-      } else {
-        out_lengths[i] = 0;
-        failures.fetch_add(1);
-      }
-      free(mem);
+  return run_pool(n, nthreads, [&](int i, std::vector<uint8_t>&) {
+    unsigned char* mem = nullptr;
+    unsigned long mem_size = 0;
+    int rc = encode_one(in + plane * i, h, w, quality, &mem, &mem_size);
+    bool ok = rc == 0 && static_cast<int64_t>(mem_size) <= cap;
+    if (ok) {
+      std::memcpy(out + static_cast<size_t>(cap) * i, mem, mem_size);
+      out_lengths[i] = static_cast<int64_t>(mem_size);
+    } else {
+      out_lengths[i] = 0;
     }
-  };
-  if (nthreads == 1) {
-    worker();
-  } else {
-    std::vector<std::thread> pool;
-    pool.reserve(nthreads);
-    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
-    for (auto& th : pool) th.join();
-  }
-  return failures.load();
+    if (mem) free(mem);
+    return ok;
+  });
 }
 
 }  // extern "C"

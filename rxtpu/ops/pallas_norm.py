@@ -74,16 +74,21 @@ def eval_batch_normalize(
     images: jnp.ndarray,   # uint8 [B, G, C, H, W]
     mean: jnp.ndarray,     # f32 [B, C] per-sample experiment mean (0..1 scale)
     std: jnp.ndarray,      # f32 [B, C]
-    crop_size: int = 364,
+    crop_size: Optional[int] = 364,
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Eval/test batch path through the Pallas kernel.
 
     Returns NHWC views [B, G, crop, crop, C] (same contract as
-    ``rxtpu.ops.warp.augment_batch`` with train=False).
+    ``rxtpu.ops.warp.augment_batch`` with train=False). ``crop_size=None``
+    skips the crop (normalize only — the reference's TEST-mode transform,
+    dataloader.py:128-139, which crops for train/val but not test).
     """
     b, g, c, h, w = images.shape
+    assert h == w, f"augment paths assume square sources, got {h}x{w}"
+    if crop_size is None:
+        crop_size = h
     planes = images.reshape(b * g * c, h, w)
     scale = (1.0 / (255.0 * std)).astype(jnp.float32)
     bias = (-mean / std).astype(jnp.float32)

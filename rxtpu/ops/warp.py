@@ -148,6 +148,8 @@ def augment_batch(
     Returns [B, G, crop, crop, C] normalized out_dtype (NHWC views).
     """
     b, g, c, h, w = images.shape
+    # the crop-offset range and rotation center derive from h alone
+    assert h == w, f"augment paths assume square sources, got {h}x{w}"
     n = b * g
     angle, vflip, hflip, crop = sample_affine_params(key, n, h, crop_size, train)
     flat = images.reshape(n, c, h, w)

@@ -35,16 +35,26 @@ def save_checkpoint(path: str, payload: Dict[str, Any], backend: str = "pickle")
 
 
 def load_checkpoint(path: str, backend: str = "auto") -> Dict[str, Any]:
-    """Load a checkpoint; 'auto' detects orbax directories vs pickle files."""
-    if backend == "orbax" or (backend == "auto" and os.path.isdir(path)):
+    """Load a checkpoint; 'auto' detects orbax directories vs pickle files.
+
+    A crash between save_checkpoint_orbax's two os.replace calls leaves
+    only ``path.old`` on disk; the public loader must find it too, not
+    just load_checkpoint_orbax.
+    """
+    if backend == "orbax" or (backend == "auto" and (
+            os.path.isdir(path) or os.path.isdir(path + ".old"))):
         return load_checkpoint_orbax(path)
     with open(path, "rb") as f:
         return pickle.load(f)
 
 
 def checkpoint_exists(path: str) -> bool:
-    """Phase-skip predicate (main.py:96-97)."""
-    return os.path.exists(path)
+    """Phase-skip / resume predicate (main.py:96-97).
+
+    True also for an orbax ``path.old`` left by a crash mid-promote, so
+    run_training resumes from the demoted copy instead of restarting.
+    """
+    return os.path.exists(path) or os.path.isdir(path + ".old")
 
 
 # ---------------------------------------------------------------------------
