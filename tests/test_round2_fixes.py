@@ -217,3 +217,60 @@ def test_pipeline_abandoned_epoch_does_not_wedge_producer(synthetic_root):
     while threading.active_count() > n0 and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= n0, "producer threads leaked"
+
+
+def test_decode_batch_routes_mixed_jpeg_png_per_buffer():
+    """A partially-converted dataset batch (JPEG + PNG mixed) must decode
+    every buffer with the right codec, not sniff only buffers[0]."""
+    import cv2
+
+    from rxtpu.data.decode import decode_batch
+
+    rng = np.random.default_rng(0)
+    img_a = rng.integers(0, 255, (32, 32), dtype=np.uint8)
+    img_b = rng.integers(0, 255, (32, 32), dtype=np.uint8)
+    jpg = cv2.imencode(".jpeg", img_a, [cv2.IMWRITE_JPEG_QUALITY, 95])[1].tobytes()
+    png = cv2.imencode(".png", img_b)[1].tobytes()
+    out = decode_batch([jpg, png], 32, 32, strict=True)
+    # png is lossless; jpeg within quality-95 tolerance
+    np.testing.assert_array_equal(out[1], img_b)
+    assert np.abs(out[0].astype(int) - img_a.astype(int)).mean() < 20
+
+
+def test_checkpoint_exists_and_load_find_orbax_old(tmp_path):
+    """A crash between save_checkpoint_orbax's two promote renames leaves
+    only path.old; the PUBLIC resume API must still find it."""
+    from rxtpu.train.checkpoint import (
+        checkpoint_exists, load_checkpoint, save_checkpoint_orbax)
+
+    path = str(tmp_path / "ck")
+    payload = {"step": np.int32(7), "x": np.arange(4, dtype=np.float32)}
+    save_checkpoint_orbax(path, payload)
+    os.rename(path, path + ".old")  # simulate crash mid-promote
+    assert not os.path.exists(path)
+    assert checkpoint_exists(path)
+    got = load_checkpoint(path)
+    np.testing.assert_array_equal(got["x"], payload["x"])
+    assert int(got["step"]) == 7
+
+
+def test_write_pack_rejects_corrupt_sources(synthetic_root, tmp_path):
+    """A truncated source image must fail pack creation loudly, not be
+    baked into the pack as silent all-zero planes."""
+    import glob
+    import shutil
+
+    from rxtpu.data.pack import write_pack
+    from rxtpu.data.records import load_metadata, read_metadata_csvs
+
+    root, _ = synthetic_root
+    work = tmp_path / "data"
+    shutil.copytree(root, work)
+    victim = sorted(glob.glob(str(work / "train" / "**" / "*.jpeg"),
+                              recursive=True))[0]
+    with open(victim, "r+b") as f:
+        f.truncate(100)  # corrupt mid-stream
+    df, dfc = read_metadata_csvs(str(work / "metadata"), "train")
+    idx = load_metadata(df, dfc, "train")
+    with pytest.raises(ValueError, match="failed"):
+        write_pack(idx, str(work), str(tmp_path / "pack"), src_size=64)
