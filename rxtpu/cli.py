@@ -91,6 +91,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--nb-classes", type=int, default=None,
                    help="override the 1108 Kaggle classes (synthetic datasets)")
+    p.add_argument("--checkpoint-every-steps", type=int, default=None,
+                   help="also roll the resume checkpoint every N steps "
+                        "(preemption-safe mid-epoch resume)")
     p.add_argument("--checkpoint-backend", default="pickle",
                    choices=["pickle", "orbax"])
     p.add_argument("--profile", action="store_true",
@@ -135,6 +138,7 @@ def resolve_config(args) -> "Config":
     if args.split_by_experiment:
         cfg.train.train_split_by_experiment = True
     cfg.train.checkpoint_backend = args.checkpoint_backend
+    cfg.train.checkpoint_every_steps = args.checkpoint_every_steps
     if args.batch_size is not None:
         cfg.train.bs_per_device = args.batch_size
         cfg.train.nb_examples = cfg.train.bs_per_device if args.debug else None

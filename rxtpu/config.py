@@ -85,6 +85,9 @@ class TrainConfig:
     augment_backend: str = "shear"           # "shear" (TPU-fast) | "gather" (exact warp)
     log_every_steps: int = 50
     checkpoint_backend: str = "pickle"       # "pickle" | "orbax" (pod-scale)
+    # preemption safety: also roll the resume checkpoint every N train
+    # steps (mid-epoch); resume replays the exact remaining batch stream
+    checkpoint_every_steps: Optional[int] = None
     checkpoint_dir: str = "models"
     board_dir: str = "board"
 

@@ -279,8 +279,14 @@ class Pipeline:
 
         return host_shard_bounds(self.batch_size, self.num_hosts, self.host_id)
 
-    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield this host's batch slices, decoded ahead by a background thread."""
+    def epoch(self, epoch: int = 0,
+              start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield this host's batch slices, decoded ahead by a background thread.
+
+        ``start_batch`` skips the first batches of the (deterministic)
+        epoch order without decoding them — mid-epoch resume after a
+        preemption replays the exact remaining stream.
+        """
         order = self._order(epoch)
         n_batches = len(self)
         batches_recs = [
@@ -304,11 +310,15 @@ class Pipeline:
 
         def producer():
             try:
-                for bi, recs in enumerate(batches_recs):
+                for bi in range(start_batch, n_batches):
                     if stop.is_set():
                         return
+                    # row0 stays the ABSOLUTE epoch stream offset so the
+                    # per-sample RNG draws are identical whether the epoch
+                    # starts from 0 or resumes mid-way
                     if not put_or_stop(
-                        self._make_batch(recs, epoch, bi * self.batch_size)
+                        self._make_batch(batches_recs[bi], epoch,
+                                         bi * self.batch_size)
                     ):
                         return
                 put_or_stop(None)

@@ -114,6 +114,7 @@ def run_training(
         logger = MetricLogger(cfg.train.board_dir, cfg.experiment_id)
 
     last_path = last_checkpoint_path(cfg)
+    start_batch = 0
     if resume and checkpoint_exists(last_path):
         saved = load_checkpoint(last_path)
         state = state.replace(
@@ -124,12 +125,22 @@ def run_training(
         )
         ckpt.best = saved.get("best_metric")
         epochs_without_improvement = int(saved.get("epochs_without_improvement", 0))
-        start_epoch = int(saved["epoch"]) + 1
+        start_batch = int(saved.get("batch_in_epoch", 0))
+        if start_batch > 0:
+            # mid-epoch (preemption-safe) checkpoint: re-enter the SAME
+            # epoch and replay its deterministic stream from batch_in_epoch
+            start_epoch = int(saved["epoch"])
+            print_fn(
+                f"Resumed mid-epoch {start_epoch} at batch {start_batch} "
+                f"(step {int(saved['step'])})")
+        else:
+            start_epoch = int(saved["epoch"]) + 1
+            print_fn(
+                f"Resumed from epoch {saved['epoch']} (step {int(saved['step'])})")
         if place_fn is not None:
             # restore loads host arrays; re-apply the mesh shardings so the
             # resumed state matches the compiled step's expectations
             state = place_fn(state)
-        print_fn(f"Resumed from epoch {saved['epoch']} (step {int(saved['step'])})")
 
     def checkpoint_payload(st: TrainState) -> Dict:
         return {
@@ -140,7 +151,7 @@ def run_training(
         }
 
     try:
-        if start_epoch == 1:
+        if start_epoch == 1 and start_batch == 0:
             # Validation at STARTED (train.py:82-86) — epoch 0 seeds best-acc.
             val_m = evaluate(eval_step, state, val_pipe, put)
             if ckpt.update(val_m["accuracy"], checkpoint_payload(state)):
@@ -167,8 +178,10 @@ def run_training(
             flag = jnp.asarray(trainable)
 
             timer.reset()
-            it = put(train_pipe.epoch(epoch))
-            pbar = _progress_bar(len(train_pipe), epoch)
+            sb = start_batch if epoch == start_epoch else 0
+            it = put(train_pipe.epoch(epoch, start_batch=sb))
+            pbar = _progress_bar(len(train_pipe) - sb, epoch)
+            batch_i = sb
             prev_m = None
             prev_loss = float("nan")
             while True:
@@ -181,6 +194,7 @@ def run_training(
                 with timer.stepping():
                     state, m = train_step(state, batch, base_key, flag)
                     step_i += 1
+                    batch_i += 1
                     if prev_m is not None:
                         # lag-one readback: blocks until step i-1 finished
                         # (keeps the stepping timer ~= device step time)
@@ -192,6 +206,18 @@ def run_training(
                     pbar.set_postfix(loss=f"{prev_loss:.3f}", refresh=False)
                 if step_i % cfg.train.log_every_steps == 0:
                     logger.log(step_i, {k: float(v) for k, v in m.items()}, prefix="training")
+                every = cfg.train.checkpoint_every_steps
+                if every and step_i % every == 0 and batch_i < len(train_pipe):
+                    # preemption-safe roll: epoch is INCOMPLETE, record how
+                    # far its deterministic stream got
+                    save_checkpoint(
+                        last_path,
+                        {**checkpoint_payload(state), "epoch": epoch,
+                         "batch_in_epoch": batch_i,
+                         "best_metric": ckpt.best,
+                         "epochs_without_improvement": epochs_without_improvement},
+                        backend=cfg.train.checkpoint_backend,
+                    )
             if pbar is not None:
                 pbar.close()
             logger.log(step_i, timer.summary(), prefix="perf")

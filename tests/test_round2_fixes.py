@@ -106,7 +106,7 @@ def test_early_stopping_tie_counts_toward_patience(tmp_path, monkeypatch):
     )
 
     class OnePipe:
-        def epoch(self, e):
+        def epoch(self, e, start_batch=0):
             return iter([dict(_fake_batch(seed=e), valid=np.ones(2, np.float32))])
 
         def __len__(self):
@@ -274,3 +274,90 @@ def test_write_pack_rejects_corrupt_sources(synthetic_root, tmp_path):
     idx = load_metadata(df, dfc, "train")
     with pytest.raises(ValueError, match="failed"):
         write_pack(idx, str(work), str(tmp_path / "pack"), src_size=64)
+
+
+def test_midepoch_resume_exact_parity(synthetic_root, tmp_path):
+    """Preemption-safe resume: interrupt mid-epoch, resume from the rolling
+    checkpoint, and land on EXACTLY the state an uninterrupted run reaches
+    (deterministic epoch stream + state.step-keyed RNG make this exact)."""
+    from rxtpu.data.pipeline import ByteStore, Pipeline
+    from rxtpu.data.records import load_metadata, read_metadata_csvs
+
+    root, _ = synthetic_root
+    df, dfc = read_metadata_csvs(os.path.join(root, "metadata"), "train")
+    idx = load_metadata(df, dfc, "train")
+    store = ByteStore(idx, root, preload=True)
+    exps = sorted({r.experiment for r in idx.records})
+    stats = {e: {"mean": np.full(6, 0.5), "std": np.full(6, 0.25)} for e in exps}
+
+    def make_pipe():
+        return Pipeline(idx, store, stats, 2, "train", src_size=64, seed=3)
+
+    assert len(make_pipe()) >= 3, "need >=3 batches to interrupt mid-epoch"
+
+    def make_cfg(d):
+        return Config(
+            data=DataConfig(path_data="x", crop_size=32, src_size=64),
+            model=ModelConfig(backbone="resnet18", nb_classes=8,
+                              pretrained=False, size_features=8,
+                              compute_dtype="float32"),
+            train=TrainConfig(nb_epochs=1, bs_per_device=2,
+                              checkpoint_every_steps=1,
+                              checkpoint_dir=os.path.join(str(d), "models"),
+                              board_dir=os.path.join(str(d), "board")),
+            experiment_id="mid",
+        )
+
+    def fresh_state(cfg):
+        model = build_model(cfg)
+        state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+        return model, state
+
+    key = jax.random.PRNGKey(0)
+    silent = lambda *a: None  # noqa: E731
+
+    # uninterrupted reference run
+    cfg_a = make_cfg(tmp_path / "a")
+    model, state = fresh_state(cfg_a)
+    res_a = run_training(cfg_a, model, state, make_pipe(), make_pipe(),
+                         base_key=key, print_fn=silent)
+
+    class CutPipe:
+        """Raises after n batches — a preemption mid-epoch."""
+
+        def __init__(self, pipe, n):
+            self.pipe, self.n = pipe, n
+
+        def __len__(self):
+            return len(self.pipe)
+
+        def epoch(self, e, start_batch=0):
+            for i, b in enumerate(self.pipe.epoch(e, start_batch)):
+                if i == self.n:
+                    raise RuntimeError("preempted")
+                yield b
+
+    cfg_b = make_cfg(tmp_path / "b")
+    model, state = fresh_state(cfg_b)
+    with pytest.raises(RuntimeError, match="preempted"):
+        run_training(cfg_b, model, state, CutPipe(make_pipe(), 2),
+                     make_pipe(), base_key=key, print_fn=silent)
+
+    msgs = []
+    model, state = fresh_state(cfg_b)
+    res_b = run_training(cfg_b, model, state, make_pipe(), make_pipe(),
+                         base_key=key, print_fn=msgs.append, resume=True)
+    # the double-buffered prefetch means the last save precedes the raise
+    # by one batch — exactly what a real preemption loses
+    assert any("Resumed mid-epoch 1 at batch " in m for m in msgs), msgs
+
+    assert int(res_a.state.step) == int(res_b.state.step)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(res_a.state.params),
+        jax.tree_util.tree_leaves_with_path(res_b.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+    for a, b in zip(jax.tree_util.tree_leaves(res_a.state.batch_stats),
+                    jax.tree_util.tree_leaves(res_b.state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

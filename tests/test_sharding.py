@@ -205,7 +205,7 @@ def test_resume_replaces_state_on_mesh(eight_cpu_devices, tmp_path):
     placed = []
 
     class NoPipe:
-        def epoch(self, e):
+        def epoch(self, e, start_batch=0):
             return iter([])
         def __len__(self):
             return 0

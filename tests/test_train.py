@@ -199,7 +199,7 @@ def test_resume_from_last_checkpoint(tmp_path):
     class OnePipe:
         def __init__(self):
             self.batches = [_fake_batch(seed=9)]
-        def epoch(self, e):
+        def epoch(self, e, start_batch=0):
             return iter([dict(b, valid=np.ones(2, np.float32)) for b in self.batches])
         def __len__(self):
             return 1
