@@ -248,7 +248,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     model = build_model(cfg)
 
     ckpt_path = cfg.checkpoint_path
-    if not checkpoint_exists(ckpt_path):
+    # phase-skip (main.py:96-97) when a best checkpoint exists — UNLESS the
+    # user asked to resume and a rolling checkpoint is present: the best
+    # file is written at epoch 0 already, so skipping here would strand a
+    # preempted run on its epoch-0 weights. Resuming a COMPLETED run is a
+    # cheap no-op (the epoch loop is empty).
+    from rxtpu.train import last_checkpoint_path
+
+    resume_pending = args.resume and checkpoint_exists(last_checkpoint_path(cfg))
+    if not checkpoint_exists(ckpt_path) or resume_pending:
         print("########## TRAINING ##########")
         df, df_controls = read_metadata_csvs(cfg.data.path_metadata, "train")
         df["celltype"] = df["experiment"].apply(get_celltype)
@@ -382,6 +390,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     idx_test_all = load_metadata(df_test, df_controls_test, "test")
     src_size = _probe_src_size(cfg, idx_test_all, pack=args.pack)
+    if args.test_crop is not None and not 0 < args.test_crop <= src_size:
+        raise SystemExit(
+            f"--test-crop {args.test_crop} must be in (0, {src_size}] "
+            f"(test source image size)"
+        )
 
     if args.pack:
         from rxtpu.data.pack import PackStore

@@ -22,7 +22,6 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
 _SRC = os.path.join(_NATIVE_DIR, "decoder.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "librxtpu_decode.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _native_failed = False
@@ -49,32 +48,29 @@ def _host_fingerprint() -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
-def _build_native() -> None:
+def _lib_path() -> str:
+    """Per-CPU-family .so path: the fingerprint lives IN the filename, so a
+    -march=native binary built by a different host on a shared filesystem
+    can never be paired with this host's stamp (no sidecar race)."""
+    return os.path.join(
+        _NATIVE_DIR, f"librxtpu_decode.{_host_fingerprint()}.so")
+
+
+def _build_native(lib_path: str) -> None:
     # compile to a per-process temp name and promote atomically: a second
     # process (pytest next to a trainer, the 2-process distributed tests)
-    # must never dlopen a half-written .so. The .so is promoted before its
-    # .arch stamp — a reader between the two just sees a stale stamp and
-    # rebuilds, which is safe.
-    tmp = f"{_LIB}.build{os.getpid()}"
+    # must never dlopen a half-written .so
+    tmp = f"{lib_path}.build{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
            "-o", tmp, "-ljpeg", "-lpthread"]
     subprocess.run(cmd, check=True, capture_output=True)
-    with open(tmp + ".arch", "w") as f:
-        f.write(_host_fingerprint())
-    os.replace(tmp, _LIB)
-    os.replace(tmp + ".arch", _LIB + ".arch")
+    os.replace(tmp, lib_path)
 
 
-def _needs_rebuild() -> bool:
-    if not os.path.exists(_LIB):
+def _needs_rebuild(lib_path: str) -> bool:
+    if not os.path.exists(lib_path):
         return True
-    if os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-        return True
-    arch = _LIB + ".arch"
-    if not os.path.exists(arch):
-        return True  # foreign/unstamped binary: never load it
-    with open(arch) as f:
-        return f.read().strip() != _host_fingerprint()
+    return os.path.getmtime(lib_path) < os.path.getmtime(_SRC)
 
 
 def get_native_lib(rebuild: bool = False) -> Optional[ctypes.CDLL]:
@@ -85,9 +81,10 @@ def get_native_lib(rebuild: bool = False) -> Optional[ctypes.CDLL]:
     if _native_failed and not rebuild:
         return None
     try:
-        if rebuild or _needs_rebuild():
-            _build_native()
-        lib = ctypes.CDLL(_LIB)
+        lib_path = _lib_path()
+        if rebuild or _needs_rebuild(lib_path):
+            _build_native(lib_path)
+        lib = ctypes.CDLL(lib_path)
         lib.rxtpu_decode_batch.restype = ctypes.c_int
         lib.rxtpu_decode_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -115,6 +112,10 @@ def _decode_batch_cv2(buffers: Sequence[bytes], out: np.ndarray) -> int:
 
     failures = 0
     for i, buf in enumerate(buffers):
+        if not buf:  # cv2.imdecode raises on empty input; count it instead
+            out[i] = 0
+            failures += 1
+            continue
         img = cv2.imdecode(np.frombuffer(buf, dtype=np.uint8), cv2.IMREAD_GRAYSCALE)
         if img is None or img.shape != out.shape[1:]:
             out[i] = 0

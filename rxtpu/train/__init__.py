@@ -12,7 +12,12 @@ from rxtpu.train.optim import (  # noqa: F401
     apply_freeze_mask,
     backbone_trainable_at_epoch,
 )
-from rxtpu.train.loop import run_training, evaluate, TrainResult  # noqa: F401
+from rxtpu.train.loop import (  # noqa: F401
+    TrainResult,
+    evaluate,
+    last_checkpoint_path,
+    run_training,
+)
 from rxtpu.train.setup import build_model, create_train_state  # noqa: F401
 from rxtpu.train.checkpoint import (  # noqa: F401
     BestCheckpointer,

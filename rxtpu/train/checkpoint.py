@@ -42,7 +42,9 @@ def load_checkpoint(path: str, backend: str = "auto") -> Dict[str, Any]:
     just load_checkpoint_orbax.
     """
     if backend == "orbax" or (backend == "auto" and (
-            os.path.isdir(path) or os.path.isdir(path + ".old"))):
+            os.path.isdir(path)
+            or (not os.path.exists(path) and os.path.isdir(path + ".old")))):
+        # a stale .old directory must not shadow a newer pickle at `path`
         return load_checkpoint_orbax(path)
     with open(path, "rb") as f:
         return pickle.load(f)

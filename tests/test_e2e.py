@@ -59,6 +59,18 @@ def test_cli_full_flow(e2e_root, monkeypatch):
     assert rc == 0
     assert os.path.exists("submission_e2e.csv")
 
+    # --resume must reach run_training even though the best checkpoint
+    # exists (the phase-skip gate would otherwise strand preempted runs on
+    # their epoch-0 weights); resuming a COMPLETED run is a no-op
+    os.remove("submission_e2e.csv")
+    rc = cli_main([
+        "--debug", "--experiment_id", "e2e", "--nb-classes", "4",
+        "--epochs", "1", "--crop-size", "32", "--experiment-types", "0",
+        "--resume",
+    ])
+    assert rc == 0
+    assert os.path.exists("submission_e2e.csv")
+
 
 def test_tools_stats_cli(e2e_root, monkeypatch, capsys):
     root, _ = e2e_root
