@@ -19,18 +19,46 @@ import numpy as np
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Materialize a pytree on this host.
+
+    On a pod, device arrays span non-addressable devices; gather each one
+    to replicated (a collective — every process must call this) and read
+    the local copy.
+    """
+
+    def get(x):
+        if (isinstance(x, jax.Array) and not x.is_fully_addressable
+                and not x.is_fully_replicated):
+            # model-parallel shard (e.g. TP head kernels): replicate first
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = jax.jit(
+                lambda a: a,
+                out_shardings=NamedSharding(x.sharding.mesh, P()),
+            )(x)
+            return np.asarray(x.addressable_shards[0].data)
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(get, tree)
 
 
 def save_checkpoint(path: str, payload: Dict[str, Any], backend: str = "pickle") -> None:
-    """Checkpoint the pytree: atomic single-file pickle (default) or orbax."""
+    """Checkpoint the pytree: atomic single-file pickle (default) or orbax.
+
+    Multi-process safe: the host gather is collective (all processes call
+    in), then only process 0 writes — hosts on a shared filesystem must
+    not race the same file.
+    """
+    payload = _to_host(payload)
+    if jax.process_index() != 0:
+        return
     if backend == "orbax":
         save_checkpoint_orbax(path, payload)
         return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        pickle.dump(_to_host(payload), f, protocol=4)
+        pickle.dump(payload, f, protocol=4)
     os.replace(tmp, path)
 
 

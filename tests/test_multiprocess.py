@@ -85,6 +85,13 @@ with mesh:
                       shuffle=False, drop_last=False, num_hosts=2, host_id=pid)
     probs, ids = predict_dataset(model, state, pipe_t, CROP, put=put)
     print("PRED", len(ids), repr(float(np.asarray(probs, np.float64).sum())))
+
+    # multi-process checkpointing: collective host gather, process-0 write
+    from rxtpu.train.checkpoint import save_checkpoint
+    ck = os.path.join(sys.argv[4], "mp_last.ckpt")
+    save_checkpoint(ck, {"params": state.params, "step": state.step})
+    # only the writer (process 0) can assert existence without racing
+    print("CKPT", os.path.exists(ck) if pid == 0 else "skipped")
 """
 
 
@@ -109,7 +116,8 @@ def test_two_process_distributed_feed(synthetic_root, tmp_path):
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), str(port), root],
+            [sys.executable, str(script), str(i), str(port), root,
+             str(tmp_path)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
         )
         for i in range(2)
@@ -143,6 +151,17 @@ def test_two_process_distributed_feed(synthetic_root, tmp_path):
         preds.append((int(n), float(ssum.strip("'\""))))
     assert preds[0] == preds[1], preds
     assert preds[0][0] > 0
+
+    # multi-process checkpoint: written exactly once (by process 0),
+    # non-writers return cleanly, loadable here
+    assert "CKPT True" in outs[0], outs[0][-500:]
+    assert "CKPT skipped" in outs[1], outs[1][-500:]
+    from rxtpu.train.checkpoint import load_checkpoint
+
+    saved = load_checkpoint(str(tmp_path / "mp_last.ckpt"))
+    # the worker saves its INITIAL state (the stepped one is discarded)
+    assert int(saved["step"]) == 0
+    assert saved["params"]  # non-empty param tree round-tripped
 
     # and it matches the single-process global batch exactly (the pipeline
     # slicing is bit-identical, so only collective math could differ)
