@@ -254,7 +254,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     # preempted run on its epoch-0 weights. Resuming a COMPLETED run is a
     # cheap no-op (the epoch loop is empty).
     from rxtpu.train import last_checkpoint_path
+    from rxtpu.train.checkpoint import assert_consistent_checkpoint_view
 
+    if num_hosts > 1:
+        # the gates below branch on file existence; hosts must agree
+        assert_consistent_checkpoint_view(
+            ckpt_path, last_checkpoint_path(cfg))
     resume_pending = args.resume and checkpoint_exists(last_checkpoint_path(cfg))
     if not checkpoint_exists(ckpt_path) or resume_pending:
         print("########## TRAINING ##########")

@@ -118,16 +118,9 @@ def _to_host(x) -> np.ndarray:
     """Materialize a (possibly globally-sharded) array on this host.
 
     On a pod the predict step's output spans non-addressable devices;
-    replicate it across processes (collective: every host calls this on
-    the same value) before reading.
+    the shared helper replicates it across processes (collective: every
+    host calls this on the same value) before reading.
     """
-    try:
-        return np.asarray(x)
-    except RuntimeError:
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    from rxtpu.train.checkpoint import replicate_to_host
 
-        rep = jax.jit(
-            lambda a: a, out_shardings=NamedSharding(x.sharding.mesh, P())
-        )(x)
-        return np.asarray(rep)
+    return replicate_to_host(x)

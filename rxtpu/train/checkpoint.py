@@ -6,10 +6,16 @@ file exists (``main.py:96-97``). This module keeps that capability surface
 (best-checkpoint + phase-skip) and extends it to full resume: params,
 batch_stats, optimizer state, step counter and best metric are all captured,
 via orbax when available with a flax-serialization fallback.
+
+Multi-process contract: on a pod, ``checkpoint_dir`` must live on storage
+shared by all hosts (GCS/NFS — the same contract orbax itself has). Saves
+are collective: every process calls in; sharded leaves are gathered
+(collective), and for the pickle backend only process 0 writes the file.
 """
 
 from __future__ import annotations
 
+import functools
 import os
 import pickle
 from typing import Any, Dict, Optional
@@ -18,26 +24,43 @@ import jax
 import numpy as np
 
 
-def _to_host(tree: Any) -> Any:
-    """Materialize a pytree on this host.
+@functools.lru_cache(maxsize=8)
+def _replicator(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    On a pod, device arrays span non-addressable devices; gather each one
-    to replicated (a collective — every process must call this) and read
-    the local copy.
+    return jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))
+
+
+def replicate_to_host(x) -> np.ndarray:
+    """Materialize one (possibly globally-sharded) array on this host.
+
+    Collective when the value spans non-addressable devices — every
+    process must call in with the same value. Shared by checkpointing and
+    the multi-host prediction path (rxtpu.infer.tta).
+    """
+    if (isinstance(x, jax.Array) and not x.is_fully_addressable
+            and not x.is_fully_replicated):
+        # model-parallel shard (e.g. TP head kernels): replicate first
+        x = _replicator(x.sharding.mesh)(x)
+        return np.asarray(x.addressable_shards[0].data)
+    return np.asarray(x)
+
+
+def _to_host(tree: Any, materialize: bool = True) -> Any:
+    """Gather a pytree for saving (collective — all processes call in).
+
+    ``materialize=False`` still runs the collective gathers for sharded
+    leaves (required for correctness) but skips the device->host readback
+    of already-replicated leaves — non-writer processes discard the
+    payload anyway.
     """
 
     def get(x):
-        if (isinstance(x, jax.Array) and not x.is_fully_addressable
-                and not x.is_fully_replicated):
-            # model-parallel shard (e.g. TP head kernels): replicate first
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            x = jax.jit(
-                lambda a: a,
-                out_shardings=NamedSharding(x.sharding.mesh, P()),
-            )(x)
-            return np.asarray(x.addressable_shards[0].data)
-        return np.asarray(x)
+        sharded = (isinstance(x, jax.Array) and not x.is_fully_addressable
+                   and not x.is_fully_replicated)
+        if sharded or materialize:
+            return replicate_to_host(x)
+        return x
 
     return jax.tree_util.tree_map(get, tree)
 
@@ -45,15 +68,16 @@ def _to_host(tree: Any) -> Any:
 def save_checkpoint(path: str, payload: Dict[str, Any], backend: str = "pickle") -> None:
     """Checkpoint the pytree: atomic single-file pickle (default) or orbax.
 
-    Multi-process safe: the host gather is collective (all processes call
-    in), then only process 0 writes — hosts on a shared filesystem must
-    not race the same file.
+    Collective on pods (see module docstring): all processes must call;
+    the pickle file is written by process 0 only; the orbax backend is
+    itself collective (its save opens with a global barrier).
     """
-    payload = _to_host(payload)
-    if jax.process_index() != 0:
-        return
     if backend == "orbax":
         save_checkpoint_orbax(path, payload)
+        return
+    primary = jax.process_index() == 0
+    payload = _to_host(payload, materialize=primary)
+    if not primary:
         return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
@@ -87,6 +111,29 @@ def checkpoint_exists(path: str) -> bool:
     return os.path.exists(path) or os.path.isdir(path + ".old")
 
 
+def assert_consistent_checkpoint_view(*paths: str) -> None:
+    """Pod contract check: every host must see the same checkpoint files.
+
+    The phase-skip and resume gates branch on checkpoint_exists; if hosts
+    disagree (checkpoint_dir on per-host local disks), they take different
+    code paths and the pod hangs on mismatched collectives or silently
+    diverges. Fail loudly with guidance instead.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    local = np.asarray([int(checkpoint_exists(p)) for p in paths], np.int32)
+    view = np.asarray(multihost_utils.process_allgather(local))
+    if not (view == view[0]).all():
+        raise RuntimeError(
+            "checkpoint visibility differs across hosts "
+            f"(per-path exists flags by process: {view.tolist()}): "
+            "checkpoint_dir must live on storage shared by all processes "
+            "(GCS/NFS) for pod runs — per-host local disks are unsupported"
+        )
+
+
 # ---------------------------------------------------------------------------
 # Orbax backend — sharding-aware, async-capable checkpointing for pod-scale
 # runs (directory-based; the pickle backend remains the single-file default).
@@ -96,24 +143,34 @@ def save_checkpoint_orbax(path: str, payload: Dict[str, Any]) -> None:
     """Atomic directory swap (same discipline as the pickle tmp+rename):
     save to ``path.tmp``, demote any existing checkpoint to ``path.old``,
     promote tmp. A crash at any point leaves at least one complete
-    checkpoint on disk (``path`` or ``path.old``), which the loader finds."""
+    checkpoint on disk (``path`` or ``path.old``), which the loader finds.
+
+    Collective: orbax's save opens with a global-process barrier, so EVERY
+    process must call in (gating this behind process 0 would deadlock the
+    pod at the first checkpoint); the directory bookkeeping around the
+    save runs on process 0 only.
+    """
     import shutil
 
     import orbax.checkpoint as ocp
 
+    primary = jax.process_index() == 0
     path = os.path.abspath(path)
     tmp, old = path + ".tmp", path + ".old"
-    if os.path.exists(tmp):
+    if primary and os.path.exists(tmp):
         shutil.rmtree(tmp)
+    # orbax's own save_start barrier orders the clean above before any
+    # process begins writing into tmp
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(tmp, _to_host(payload))
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(path):
-        os.replace(path, old)
-    os.replace(tmp, path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    if primary:
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.replace(path, old)
+        os.replace(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
 
 def load_checkpoint_orbax(path: str) -> Dict[str, Any]:

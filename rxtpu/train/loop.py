@@ -168,6 +168,11 @@ def run_training(
         step_i = int(state.step)
 
         for epoch in range(start_epoch, cfg.train.nb_epochs + 1):
+            if (cfg.train.early_stopping
+                    and epochs_without_improvement >= cfg.train.patience):
+                # resuming a run that had already early-stopped must not
+                # retrain an extra epoch before re-noticing the plateau
+                break
             trainable = backbone_trainable_at_epoch(
                 epoch, cfg.model.pretrained, cfg.train.freeze_head_only_epochs
             )

@@ -92,6 +92,20 @@ with mesh:
     save_checkpoint(ck, {"params": state.params, "step": state.step})
     # only the writer (process 0) can assert existence without racing
     print("CKPT", os.path.exists(ck) if pid == 0 else "skipped")
+
+    # orbax backend is COLLECTIVE (its save barriers globally): calling it
+    # from every process must complete, not deadlock
+    ck2 = os.path.join(sys.argv[4], "mp_orbax.ckpt")
+    save_checkpoint(ck2, {"step": state.step}, backend="orbax")
+    print("ORBAX", os.path.exists(ck2) if pid == 0 else "done")
+
+    # shared-filesystem contract check passes when hosts agree (sync first:
+    # process 0 promotes the orbax dir after the collective save returns)
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("ckpt_promoted")
+    from rxtpu.train.checkpoint import assert_consistent_checkpoint_view
+    assert_consistent_checkpoint_view(ck, ck2)
+    print("VIEWOK")
 """
 
 
@@ -162,6 +176,13 @@ def test_two_process_distributed_feed(synthetic_root, tmp_path):
     # the worker saves its INITIAL state (the stepped one is discarded)
     assert int(saved["step"]) == 0
     assert saved["params"]  # non-empty param tree round-tripped
+
+    # collective orbax save completed on both processes without deadlock
+    assert "ORBAX True" in outs[0], outs[0][-500:]
+    assert "ORBAX done" in outs[1], outs[1][-500:]
+    assert all("VIEWOK" in o for o in outs)
+    saved2 = load_checkpoint(str(tmp_path / "mp_orbax.ckpt"))
+    assert int(saved2["step"]) == 0
 
     # and it matches the single-process global batch exactly (the pipeline
     # slicing is bit-identical, so only collective math could differ)
