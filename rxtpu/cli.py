@@ -132,6 +132,9 @@ def resolve_config(args) -> "Config":
     if args.early_stopping:
         cfg.train.early_stopping = True
     if args.patience is not None:
+        if args.patience < 1:
+            raise SystemExit("--patience must be >= 1 (ignite parity: "
+                             "EarlyStopping rejects patience < 1)")
         cfg.train.patience = args.patience
     if args.no_scheduler:
         cfg.train.scheduler = False

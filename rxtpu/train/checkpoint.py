@@ -65,25 +65,35 @@ def _to_host(tree: Any, materialize: bool = True) -> Any:
     return jax.tree_util.tree_map(get, tree)
 
 
+def _sync_processes(tag: str) -> None:
+    """Barrier: no process returns from a save before the file/promote is
+    visible — a host checking checkpoint_exists right after a collective
+    save must not observe the pre-write or mid-promote state."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 def save_checkpoint(path: str, payload: Dict[str, Any], backend: str = "pickle") -> None:
     """Checkpoint the pytree: atomic single-file pickle (default) or orbax.
 
     Collective on pods (see module docstring): all processes must call;
-    the pickle file is written by process 0 only; the orbax backend is
-    itself collective (its save opens with a global barrier).
+    the pickle file is written by process 0 only, and every process
+    returns only after the write landed.
     """
     if backend == "orbax":
         save_checkpoint_orbax(path, payload)
         return
     primary = jax.process_index() == 0
     payload = _to_host(payload, materialize=primary)
-    if not primary:
-        return
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(payload, f, protocol=4)
-    os.replace(tmp, path)
+    if primary:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f, protocol=4)
+        os.replace(tmp, path)
+    _sync_processes("rxtpu:ckpt_pickle_written")
 
 
 def load_checkpoint(path: str, backend: str = "auto") -> Dict[str, Any]:
@@ -160,7 +170,11 @@ def save_checkpoint_orbax(path: str, payload: Dict[str, Any]) -> None:
     if primary and os.path.exists(tmp):
         shutil.rmtree(tmp)
     # orbax's own save_start barrier orders the clean above before any
-    # process begins writing into tmp
+    # process begins writing into tmp. The payload is host-materialized
+    # first — saving device jax.Arrays natively would bind the checkpoint
+    # to the saving topology (orbax then refuses to restore without
+    # matching devices/target shardings), breaking restore-anywhere:
+    # pod-train -> single-host test, or resume on a different slice.
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(tmp, _to_host(payload))
     if primary:
@@ -171,6 +185,7 @@ def save_checkpoint_orbax(path: str, payload: Dict[str, Any]) -> None:
         os.replace(tmp, path)
         if os.path.exists(old):
             shutil.rmtree(old)
+    _sync_processes("rxtpu:ckpt_orbax_promoted")
 
 
 def load_checkpoint_orbax(path: str) -> Dict[str, Any]:

@@ -99,6 +99,10 @@ def run_training(
     """
     if put is None:
         put = device_prefetch
+    if cfg.train.early_stopping and cfg.train.patience < 1:
+        # ignite EarlyStopping rejects patience < 1 too; with the loop-top
+        # plateau check, patience 0 would train zero epochs
+        raise ValueError("early stopping requires patience >= 1")
 
     crop = cfg.data.crop_size
     train_step = make_train_step(model, crop, augment=cfg.train.augment_backend)
