@@ -132,7 +132,10 @@ def resolve_config(args) -> "Config":
     if args.early_stopping:
         cfg.train.early_stopping = True
     if args.patience is not None:
-        if args.patience < 1:
+        if args.patience < 1 and args.early_stopping:
+            # ignite parity: EarlyStopping validates patience only when it is
+            # actually constructed (early stopping enabled); a stray
+            # --patience without --early-stopping is inert, as in main.py
             raise SystemExit("--patience must be >= 1 (ignite parity: "
                              "EarlyStopping rejects patience < 1)")
         cfg.train.patience = args.patience

@@ -62,12 +62,13 @@ def greedy_assign(preds: np.ndarray) -> np.ndarray:
     preds = rescale(preds.copy())
     results = np.zeros(preds.shape[0])
     for _ in range(preds.shape[0]):
-        max_per_row_idx = np.argmax(preds, axis=1)
-        max_row_idx = np.argmax(preds[np.arange(len(preds)), max_per_row_idx])
-        max_column_idx = max_per_row_idx[max_row_idx]
-        results[max_row_idx] = max_column_idx
-        preds[:, max_column_idx] = 0.0
-        preds[max_row_idx, :] = 0.0
+        best_class_per_sample = np.argmax(preds, axis=1)
+        winner = np.argmax(
+            preds[np.arange(len(preds)), best_class_per_sample])
+        winner_class = best_class_per_sample[winner]
+        results[winner] = winner_class
+        preds[:, winner_class] = 0.0
+        preds[winner, :] = 0.0
         preds = rescale(preds)
     return results
 

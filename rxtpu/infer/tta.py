@@ -100,13 +100,20 @@ def predict_dataset(
     step = model_fn if model_fn is not None else make_tta_predict_step(
         model, crop_size, tta, tta_average
     )
+    def host_batches():
+        # the keep mask comes from id_codes (below), so `valid` is dead
+        # weight for predict — drop it HOST-side, before put() device-puts
+        # (or collectively materializes, on pods) the batch
+        for b in pipe.epoch(0):
+            b.pop("valid", None)
+            yield b
+
     all_probs, all_ids = [], []
-    for batch in put(pipe.epoch(0)):
+    for batch in put(host_batches()):
         # id_codes span the GLOBAL batch on every host (Pipeline metadata
         # contract) — padding rows are "", so the keep mask needs no
         # device readback of the sharded `valid` array
         id_codes = batch.pop("id_codes")
-        batch.pop("valid", None)
         probs = _to_host(step(state, batch))
         keep = np.asarray([i != "" for i in id_codes])
         all_probs.append(probs[keep])

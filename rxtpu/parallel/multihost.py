@@ -93,7 +93,10 @@ def initialize_distributed(
         if "already initialized" not in str(e).lower():
             raise
     except ValueError:
-        if coordinator_address or num_processes or process_id:
+        # `is not None` (not truthiness): an explicit process_id=0 is still
+        # an explicit cluster arg and its config errors must surface
+        if (coordinator_address is not None or num_processes is not None
+                or process_id is not None):
             raise  # explicit cluster args that don't parse are an error
         pass  # auto-detect outside any cluster: single-process environment
     return jax.process_index()

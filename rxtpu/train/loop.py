@@ -171,6 +171,11 @@ def run_training(
         # round-trip per step (~32 ms on relay-attached chips)
         step_i = int(state.step)
 
+        # epochs actually trained: stays start_epoch-1 if the resume plateau
+        # gate below fires before any epoch runs (the for statement would
+        # already have bound `epoch` to the first UNRUN epoch)
+        epochs_run = start_epoch - 1
+
         for epoch in range(start_epoch, cfg.train.nb_epochs + 1):
             if (cfg.train.early_stopping
                     and epochs_without_improvement >= cfg.train.patience):
@@ -241,6 +246,7 @@ def run_training(
             )
             logger.log(step_i, val_m, prefix="validation")
             history.append({"epoch": epoch, **val_m, **timer.summary()})
+            epochs_run = epoch
 
             # EarlyStopping(patience) on val accuracy (train.py:74-80).
             # ignite counts a TIE as no improvement — only strict improvement
@@ -269,6 +275,6 @@ def run_training(
     return TrainResult(
         state=state,
         best_accuracy=float(ckpt.best or 0.0),
-        epochs_run=epoch,
+        epochs_run=epochs_run,
         history=history,
     )
