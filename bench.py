@@ -147,7 +147,8 @@ def run_eval_bench(backbone: str, batch: int, steps: int, crop: int, src: int,
 
     The 5000-views/s north star is an inference-class number (the TRAIN
     mxu ceiling is ~2620, see module docstring); this leg reports where
-    this implementation stands on that workload.
+    this implementation stands on that workload. The eval forward runs on
+    BN-FOLDED weights (rxtpu.infer.fold) by default.
     """
     from rxtpu.parallel import shard_batch
     from rxtpu.train import make_eval_step
@@ -167,6 +168,41 @@ def run_eval_bench(backbone: str, batch: int, steps: int, crop: int, src: int,
     dt = time.perf_counter() - t0
     return {"eval_ips_per_chip": global_batch * G * steps / dt / n_dev,
             "eval_step_time_ms": 1000 * dt / steps}
+
+
+def run_predict_bench(backbone: str, batch: int, steps: int, src: int,
+                      built=None):
+    """Reference TEST inference rate: G=6 two-site predict, FULL-SIZE views
+    (the reference test transform normalizes without cropping,
+    dataloader.py:128-139; forward+softmax per test.py:23-32). This is the
+    workload a reference user actually runs at submission time."""
+    import jax
+
+    from rxtpu.parallel import shard_batch
+    from rxtpu.train.step import make_predict_step
+
+    mesh, state, _, n_dev, model = built or _build(backbone, batch, 364, src)
+    pstep = make_predict_step(model, crop_size=None)
+    global_batch = batch * n_dev
+    rng = np.random.default_rng(1)
+    pg = 6
+    dbatch = shard_batch({
+        "images": rng.integers(
+            0, 256, size=(global_batch, pg, 6, src, src), dtype=np.uint8),
+        "mean": rng.uniform(0.2, 0.6, (global_batch, 6)).astype(np.float32),
+        "std": rng.uniform(0.1, 0.4, (global_batch, 6)).astype(np.float32),
+    }, mesh)
+    probs = None
+    for _ in range(3):  # compile + relay warmup
+        probs = pstep(state, dbatch)
+    float(probs[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        probs = pstep(state, dbatch)
+    float(probs[0, 0])
+    dt = time.perf_counter() - t0
+    return {"predict_full_ips_per_chip": global_batch * pg * steps / dt / n_dev,
+            "predict_full_step_time_ms": 1000 * dt / steps}
 
 
 # ---------------------------------------------------------------------------
@@ -296,6 +332,10 @@ def main():
     ap.add_argument("--no-eval", action="store_true",
                     help="skip the inference-rate measurement")
     ap.add_argument("--eval-steps", type=int, default=30)
+    ap.add_argument("--no-predict", action="store_true",
+                    help="skip the G=6 full-size test-inference measurement")
+    ap.add_argument("--predict-steps", type=int, default=12)
+    ap.add_argument("--predict-batch", type=int, default=16)
     args = ap.parse_args()
 
     bench_batch = args.batch
@@ -345,6 +385,17 @@ def main():
 
             traceback.print_exc()
             r["eval_ips_per_chip"] = None  # failed (vs absent = skipped)
+
+    if not args.no_predict:
+        try:
+            r.update(run_predict_bench(
+                args.backbone, min(args.predict_batch, bench_batch),
+                args.predict_steps, args.src, built=built))
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+            r["predict_full_ips_per_chip"] = None
 
     # Measured composition floor for this model family (OPTIMIZATION.md):
     # conv pass-count roofline + irreducible BN-train reductions ~0.94

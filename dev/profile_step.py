@@ -24,13 +24,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build(batch: int, crop: int = 364, src: int = 512):
+def build(batch: int, crop: int = 364, src: int = 512, mode: str = "train",
+          G: int = 3):
+    """mode: 'train' (fused aug step), 'eval' (crop+norm+fwd), 'predict'
+    (normalize [+crop] + fwd + softmax, reference G=6 test workload)."""
     import jax
     import jax.numpy as jnp
 
     from rxtpu.config import Config, DataConfig, ModelConfig, TrainConfig
     from rxtpu.parallel import make_mesh, place_state, shard_batch
     from rxtpu.train import build_model, create_train_state, make_train_step
+    from rxtpu.train.step import make_eval_step, make_predict_step
 
     n_dev = jax.device_count()
     mesh = make_mesh(n_devices=n_dev)
@@ -43,9 +47,7 @@ def build(batch: int, crop: int = 364, src: int = 512):
     model = build_model(cfg)
     state, _ = create_train_state(cfg, model, steps_per_epoch=100, n_devices=n_dev)
     state = place_state(state, mesh)
-    step = make_train_step(model, crop, donate=True)
     rng = np.random.default_rng(0)
-    G = 3
     batch_host = {
         "images": rng.integers(0, 256, size=(batch * n_dev, G, 6, src, src), dtype=np.uint8),
         "labels": rng.integers(0, 1108, size=(batch * n_dev,)).astype(np.int32),
@@ -55,7 +57,34 @@ def build(batch: int, crop: int = 364, src: int = 512):
     dbatch = shard_batch(batch_host, mesh)
     key = jax.random.PRNGKey(0)
     flag = jnp.asarray(True)
-    return state, step, dbatch, key, flag
+    if mode == "train":
+        step = make_train_step(model, crop, donate=True)
+        args = (state, dbatch, key, flag)
+
+        def run(st, out):
+            return step(st, dbatch, key, flag)
+
+        readback = lambda out: float(out[1]["loss"])  # noqa: E731
+        unpack = lambda out: out  # noqa: E731 (state, metrics)
+    elif mode == "eval":
+        step = make_eval_step(model, crop)
+        args = (state, dbatch)
+
+        def run(st, out):
+            return st, step(st, dbatch)
+
+        readback = lambda out: float(out[1]["loss_sum"])  # noqa: E731
+    elif mode == "predict":
+        step = make_predict_step(model, crop if crop else None)
+        args = (state, dbatch)
+
+        def run(st, out):
+            return st, step(st, dbatch)
+
+        readback = lambda out: float(out[1][0, 0])  # noqa: E731
+    else:
+        raise ValueError(mode)
+    return step, args, run, readback
 
 
 def parse_hlo(hlo: str):
@@ -116,6 +145,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--mode", default="train",
+                    choices=["train", "eval", "predict"])
+    ap.add_argument("--g", type=int, default=None,
+                    help="views per sample (default 3; predict default 6)")
+    ap.add_argument("--crop", type=int, default=364,
+                    help="crop size; 0 = no crop (reference predict)")
     ap.add_argument("--logdir", default="/tmp/rxtpu_prof")
     ap.add_argument("--top", type=int, default=45)
     ap.add_argument("--parse-only", action="store_true",
@@ -125,20 +160,23 @@ def main():
     if not args.parse_only:
         import jax
 
-        state, step, dbatch, key, flag = build(args.batch)
-        hlo = step.lower(state, dbatch, key, flag).compile().as_text()
+        g = args.g or (6 if args.mode == "predict" else 3)
+        step, fargs, run, readback = build(
+            args.batch, crop=args.crop, mode=args.mode, G=g)
+        hlo = step.lower(*fargs).compile().as_text()
         with open(os.path.join("/tmp", "step_hlo.txt"), "w") as f:
             f.write(hlo)
+        state, out = fargs[0], None
         for _ in range(3):
-            state, m = step(state, dbatch, key, flag)
-        float(m["loss"])  # barrier
+            state, out = run(state, out)
+        readback(out)  # barrier
 
         shutil.rmtree(args.logdir, ignore_errors=True)
         jax.profiler.start_trace(args.logdir, create_perfetto_trace=True)
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            state, m = step(state, dbatch, key, flag)
-        float(m["loss"])
+            state, out = run(state, out)
+        readback(out)
         wall = time.perf_counter() - t0
         jax.profiler.stop_trace()
         print(f"wall per step: {1000*wall/args.steps:.1f} ms (incl. relay)")

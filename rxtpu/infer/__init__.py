@@ -6,5 +6,6 @@ from rxtpu.infer.plate_leak import (  # noqa: F401
     hungarian_assign,
     rescale,
 )
+from rxtpu.infer.fold import fold_for_inference  # noqa: F401
 from rxtpu.infer.tta import make_tta_predict_step, predict_dataset  # noqa: F401
 from rxtpu.infer.submit import write_submission  # noqa: F401

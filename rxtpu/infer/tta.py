@@ -59,6 +59,9 @@ def make_tta_predict_step(
         raise ValueError(f"unknown tta mode {tta!r}")
     if average not in ("probs", "logits"):
         raise ValueError(f"unknown tta average mode {average!r}")
+    from rxtpu.train.step import _make_eval_apply
+
+    apply_fn = _make_eval_apply(model)  # BN-folded when supported
 
     def step_fn(state: TrainState, batch):
         views = eval_batch_normalize(
@@ -66,11 +69,7 @@ def make_tta_predict_step(
         )
         acc = None
         for name in variants:
-            logits = model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                _TTA_VARIANTS[name](views),
-                train=False,
-            )
+            logits = apply_fn(state, _TTA_VARIANTS[name](views))
             term = jax.nn.softmax(logits, axis=-1) if average == "probs" else logits
             acc = term if acc is None else acc + term
         acc = acc / len(variants)

@@ -13,6 +13,8 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from rxtpu.models.norm import TorchBatchNorm
+
 
 class DenseLayer(nn.Module):
     growth_rate: int
@@ -58,7 +60,7 @@ class DenseNet(nn.Module):
             kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
         )
         norm = functools.partial(
-            nn.BatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            TorchBatchNorm, use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=self.param_dtype,
             axis_name=self.bn_axis_name if train else None,
         )

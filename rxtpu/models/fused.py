@@ -138,12 +138,17 @@ class FusedBottleneckBlock(nn.Module):
 
         if self.is_mutable_collection("batch_stats"):
             m = self.momentum
+            # torch running_var stores the UNBIASED variance (Bessel
+            # n/(n-1) over the true, unpadded element count) — keep the
+            # fused path consistent with rxtpu.models.norm.BatchNorm
+            n = N * H * W
+            bessel = n / max(n - 1, 1)
             for (rm, rv), key in (
                 ((rm1, rv1), "bn1"), ((rm2, rv2), "bn2"), ((rm3, rv3), "bn3"),
             ) + ((((rmp, rvp), "bnp"),) if proj else ()):
                 bmean, bvar = stats[key]
                 rm.value = m * rm.value + (1.0 - m) * bmean
-                rv.value = m * rv.value + (1.0 - m) * bvar
+                rv.value = m * rv.value + (1.0 - m) * (bessel * bvar)
 
         if nhwc:
             return y[:, :H * W, :].reshape(N, H, W, C4).astype(self.dtype)

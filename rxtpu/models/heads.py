@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from rxtpu.models.norm import TorchBatchNorm
+
 
 class MLPHead(nn.Module):
     nb_classes: int
@@ -24,17 +26,26 @@ class MLPHead(nn.Module):
     dropout: float = 0.3           # models.py:11
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    # Inference-only: consume BN-folded weights (rxtpu.infer.fold) — the
+    # bn1/bn2 affines live inside fc1/fc2, so the head is two matmuls.
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, param_dtype=self.param_dtype, name=name,
-        )
         dense = lambda f, name: nn.Dense(  # noqa: E731
             f, dtype=self.dtype, param_dtype=self.param_dtype, name=name,
         )
         x = x.astype(self.dtype)
+        if self.folded:
+            assert not train, "folded weights are eval-only"
+            x = dense(self.size_features, "fc1")(x)
+            x = nn.relu(x)
+            x = dense(self.nb_classes, "fc2")(x)
+            return x.astype(jnp.float32)
+        norm = lambda name: TorchBatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name,
+        )
         x = norm("bn1")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = dense(self.size_features, "fc1")(x)
@@ -64,13 +75,13 @@ class ArcFaceHead(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, labels: Optional[jnp.ndarray] = None):
         x = x.astype(self.dtype)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, param_dtype=self.param_dtype, name="bn1")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.size_features, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1")(x)
         x = nn.relu(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, param_dtype=self.param_dtype, name="bn2")(x)
         emb = x.astype(jnp.float32)
 

@@ -26,6 +26,8 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from rxtpu.models.norm import TorchBatchNorm
+
 ModuleDef = Any
 
 
@@ -40,10 +42,13 @@ class ResNetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (3, 3), self.strides)(x)
+        # explicit (1,1) padding == torch Conv2d(padding=1); XLA 'SAME'
+        # would pad (0,1) at stride 2, shifting the grid one pixel vs torch
+        y = self.conv(self.filters, (3, 3), self.strides,
+                      padding=[(1, 1), (1, 1)])(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3))(y)
+        y = self.conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)])(y)
         y = self.norm(scale_init=nn.initializers.zeros)(y)
         if residual.shape != y.shape:
             residual = self.conv(self.filters, (1, 1), self.strides, name="conv_proj")(residual)
@@ -65,7 +70,10 @@ class BottleneckBlock(nn.Module):
         y = self.conv(self.filters, (1, 1))(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), self.strides)(y)
+        # explicit (1,1) padding == torch Conv2d(padding=1); XLA 'SAME'
+        # would pad (0,1) at stride 2, shifting the grid one pixel vs torch
+        y = self.conv(self.filters, (3, 3), self.strides,
+                      padding=[(1, 1), (1, 1)])(y)
         y = self.norm()(y)
         y = nn.relu(y)
         y = self.conv(self.filters * 4, (1, 1))(y)
@@ -93,25 +101,33 @@ class ResNet(nn.Module):
     # stride-1 bottlenecks during training. Parameter trees are identical
     # either way, so the flag can differ between train and eval applies.
     fuse_blocks: bool = False
+    # Inference-only variant consuming BN-folded weights
+    # (rxtpu.infer.fold): convs carry a bias, norms are gone entirely.
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert not (self.folded and train), "folded weights are eval-only"
         conv = functools.partial(
             nn.Conv,
-            use_bias=False,
+            use_bias=self.folded,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
         )
-        norm = functools.partial(
-            nn.BatchNorm,
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            axis_name=self.bn_axis_name if train else None,
-        )
+        if self.folded:
+            def norm(*_a, **_k):  # BN lives inside the conv weights now
+                return lambda y: y
+        else:
+            norm = functools.partial(
+                TorchBatchNorm,
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                axis_name=self.bn_axis_name if train else None,
+            )
 
         x = x.astype(self.dtype)
         # 6-channel stem: 7x7/2 conv (models.py:18-27), then 3x3/2 maxpool.
@@ -218,5 +234,7 @@ def make_backbone(arch: str, **kw):
         from rxtpu.models.densenet import densenet121
 
         kw.pop("fuse_blocks", None)  # bottleneck fusion is ResNet-only
+        if kw.pop("folded", False):  # BN folding is ResNet-only (fold.py)
+            raise ValueError("densenet121 does not support BN folding")
         return densenet121(**kw)
     raise ValueError(f"unknown backbone {arch!r}")

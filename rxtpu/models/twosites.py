@@ -35,6 +35,7 @@ class TwoSitesNN(nn.Module):
     param_dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     fuse_blocks: bool = False  # Pallas fused bottlenecks in train mode
+    folded: bool = False       # BN-folded inference weights (rxtpu.infer.fold)
 
     @nn.compact
     def __call__(self, x, train: bool = False, labels=None):
@@ -47,6 +48,7 @@ class TwoSitesNN(nn.Module):
             param_dtype=self.param_dtype,
             bn_axis_name=self.bn_axis_name,
             fuse_blocks=self.fuse_blocks,
+            folded=self.folded,
             name="backbone",
         )(x, train=train)                               # [B*G, F]
         f = feats.shape[-1]
@@ -62,6 +64,7 @@ class TwoSitesNN(nn.Module):
             grouped = jnp.stack([img - neg, neg, pos - neg], axis=1)
         feats = grouped.reshape(b, 3 * f)               # [B, 3F] concat (models.py:51-54)
         if self.head == "arcface":
+            assert not self.folded, "BN folding supports the mlp head only"
             return ArcFaceHead(
                 nb_classes=self.nb_classes,
                 size_features=self.size_features,
@@ -78,6 +81,7 @@ class TwoSitesNN(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            folded=self.folded,
             name="head",
         )(feats, train=train)
 

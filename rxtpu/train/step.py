@@ -148,22 +148,48 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, crop_size: int) -> Callable:
+def _make_eval_apply(model, fold: bool = True) -> Callable:
+    """(state, views) -> logits for eval/predict steps.
+
+    When the model supports it (resnet backbone + mlp head), the eval
+    forward consumes BN-FOLDED weights (rxtpu.infer.fold): the per-channel
+    eval-BN affines are folded into conv kernels/biases inside the jitted
+    step, so the compiled forward contains no normalization ops at all.
+    """
+    from rxtpu.infer.fold import fold_variables, foldable
+
+    if fold and foldable(model):
+        folded_model = model.clone(folded=True, fuse_blocks=False)
+
+        def apply_fn(state, views):
+            fvars = fold_variables(state.params, state.batch_stats)
+            return folded_model.apply(fvars, views, train=False)
+
+        return apply_fn
+
+    def apply_fn(state, views):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            views,
+            train=False,
+        )
+
+    return apply_fn
+
+
+def make_eval_step(model, crop_size: int, fold: bool = True) -> Callable:
     """Center-crop + normalize + forward; returns per-batch (loss_sum, correct, n).
 
     Mirrors the ignite evaluator metrics (train.py:39-42) as exact sums so
     epoch metrics are independent of batch partitioning.
     """
+    apply_fn = _make_eval_apply(model, fold)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         views = eval_batch_normalize(
             batch["images"], batch["mean"], batch["std"], crop_size
         )
-        logits = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            views,
-            train=False,
-        )
+        logits = apply_fn(state, views)
         labels = batch["labels"]
         valid = batch.get("valid")
         if valid is None:
@@ -179,7 +205,9 @@ def make_eval_step(model, crop_size: int) -> Callable:
     return jax.jit(step_fn)
 
 
-def make_predict_step(model, crop_size: Optional[int] = None) -> Callable:
+def make_predict_step(
+    model, crop_size: Optional[int] = None, fold: bool = True
+) -> Callable:
     """Test-time softmax probabilities (test.py:27-29): G=6 two-site TTA.
 
     ``crop_size=None`` (default) matches the reference TEST transform,
@@ -187,16 +215,13 @@ def make_predict_step(model, crop_size: Optional[int] = None) -> Callable:
     crop only for train/val); pass an int to trade parity for ~2x faster
     cropped inference.
     """
+    apply_fn = _make_eval_apply(model, fold)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         views = eval_batch_normalize(
             batch["images"], batch["mean"], batch["std"], crop_size
         )
-        logits = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            views,
-            train=False,
-        )
+        logits = apply_fn(state, views)
         return jax.nn.softmax(logits, axis=-1)
 
     return jax.jit(step_fn)
