@@ -402,6 +402,13 @@ def main():
     # ms/view model + measured augment floor ~0.15 ms/view on v5e.
     if r.get("backend") == "tpu":
         r["explained_ceiling_ips"] = round(1000.0 / (0.94 + 0.15), 1)
+        if args.backbone == "resnet50" and args.crop == 364 and args.src == 512:
+            # analytic per-op inference ceilings (dev/eval_ceiling.py):
+            # MXU-lane-utilization + ideal-fusion HBM traffic at spec
+            # 819 GB/s. Round-3 measured eval == this ceiling (23.78 vs
+            # 23.80 ms): the naive all-MXU bound (~7860) is not physical.
+            r["eval_ceiling_ips"] = 4034
+            r["predict_full_ceiling_ips"] = 2087
 
     baseline = 5000.0  # BASELINE.json north star: >=5k 512^2x6ch images/s/chip
     detail = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in r.items()}

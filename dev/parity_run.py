@@ -1,0 +1,409 @@
+"""Cross-framework accuracy-parity run: rxtpu vs the torch reference.
+
+Trains the SAME plate-balanced synthetic dataset (rxtpu/data/synthetic.py
+make_plate_balanced_synthetic_dataset — honors the Kaggle leak structure of
+main.py:157-167; identical record split, identical raw uint8 batch streams,
+identical initial weights exported flax->torch) through
+
+- rxtpu's production machinery: fused jit train step, exact one-pass warp
+  augmentation (cv2-parity goldens), SGD/nesterov/wd + per-epoch cosine —
+  the pipeline main.py:82-102 maps onto; and
+- a test-local torch.nn transcription of the reference
+  (tests/test_torch_parity.py) fed by a cv2 re-implementation of the
+  reference's albumentations train transform (dataloader.py:41-50:
+  vflip p=.5, hflip p=.5, rotate +-180 reflect101 bilinear, random crop)
+  and torch.optim.SGD(momentum=.9, nesterov, wd=3e-5) (main.py:89-93),
+
+then evaluates both on the same val batches each epoch, and runs BOTH
+models' G=6 full-size test predictions through the SAME plate-leak
+pipeline (mask -> greedy assignment, test.py:41-56), comparing the two
+submissions to each other and to the manifest ground truth.
+
+Writes PARITY_RUN.md. Run on CPU: JAX_PLATFORMS handled via jax.config
+(this image's sitecustomize re-registers the TPU otherwise).
+
+Usage: python dev/parity_run.py [--epochs 15] [--batch 4] [--out PARITY_RUN.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import cv2  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+CROP = 48
+IMG = 64
+NB_CLASSES = 8
+N_TRAIN_EXPS = 4
+
+
+# ---------------------------------------------------------------------------
+# shared data
+# ---------------------------------------------------------------------------
+
+def build_data(root: str, batch: int):
+    from rxtpu.data.pipeline import ByteStore, Pipeline
+    from rxtpu.data.records import (
+        load_metadata, read_metadata_csvs, stratified_split)
+    from rxtpu.data.synthetic import make_plate_balanced_synthetic_dataset
+
+    manifest_path = os.path.join(root, "metadata", "train.csv")
+    if not os.path.exists(manifest_path):
+        make_plate_balanced_synthetic_dataset(
+            root, nb_classes=NB_CLASSES, n_train_experiments=N_TRAIN_EXPS,
+            n_test_experiments=2, test_types=(0, 1), img_size=IMG, seed=0,
+        )
+    from rxtpu.data.records import build_plate_groups
+
+    df, dfc = read_metadata_csvs(os.path.join(root, "metadata"), "train")
+    df_tr, df_val = stratified_split(df, val_fraction=0.25, seed=42)
+    plate_groups = build_plate_groups(df, nb_classes=NB_CLASSES)
+    exps = sorted(set(df.experiment)) + ["U2OS-01", "U2OS-02"]
+    stats = {e: {"mean": np.full(6, 0.5), "std": np.full(6, 0.25)}
+             for e in exps}
+
+    def pipe(dfx, mode, split="train"):
+        idx = load_metadata(dfx, dfc, split)
+        store = ByteStore(idx, root, preload=True)
+        return Pipeline(idx, store, stats, batch, mode, src_size=IMG, seed=0,
+                        prefetch_depth=1)
+
+    df_te, dfc_te = read_metadata_csvs(os.path.join(root, "metadata"), "test")
+    idx_te = load_metadata(df_te, dfc_te, "test")
+    store_te = ByteStore(idx_te, root, preload=True)
+    test_pipe = Pipeline(idx_te, store_te, stats, batch, "test", src_size=IMG,
+                         seed=0, prefetch_depth=1)
+    # ground truth: the generator places sirna k at plate_groups[k, etype]
+    # with well = _well_name(i) in per-plate emission order k=0..C-1;
+    # recompute it from the same deterministic rule
+    from rxtpu.data.synthetic import _well_name
+
+    truth = {}
+    for e, etype in zip(("U2OS-01", "U2OS-02"), (0, 1)):
+        used = {p: 0 for p in (1, 2, 3, 4)}
+        for k in range(NB_CLASSES):
+            plate = int(plate_groups[k, etype])
+            well = _well_name(used[plate])
+            used[plate] += 1
+            truth[f"{e}_{plate}_{well}"] = k
+    return (pipe(df_tr, "train"), pipe(df_val, "val"), test_pipe,
+            plate_groups, {"U2OS-01": 0, "U2OS-02": 1}, truth)
+
+
+def record_epochs(p, n_epochs):
+    """Materialize batch streams so both frameworks see identical data."""
+    out = []
+    for e in range(n_epochs):
+        out.append([dict(b) for b in p.epoch(e)])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# torch side
+# ---------------------------------------------------------------------------
+
+def torch_model_from_flax(params, batch_stats):
+    import torch
+
+    from rxtpu.models.pretrained import synthetic_resnet50_state_dict
+    from test_torch_parity import _TorchTwoSitesNN, _copy_head_to_torch
+
+    t = lambda a: torch.from_numpy(np.asarray(a, np.float32).copy())  # noqa: E731
+    m = _TorchTwoSitesNN(synthetic_resnet50_state_dict(), NB_CLASSES, dropout=0.3)
+    bb, bs = params["backbone"], batch_stats["backbone"]
+
+    def set_conv(conv, p):  # flax HWIO -> torch OIHW
+        conv.weight.copy_(t(np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1))))
+
+    def set_bn(bn, p, s):
+        bn.weight.copy_(t(p["scale"]))
+        bn.bias.copy_(t(p["bias"]))
+        bn.running_mean.copy_(t(s["mean"]))
+        bn.running_var.copy_(t(s["var"]))
+
+    with torch.no_grad():
+        set_conv(m.base_nn.conv1, bb["conv_init"])
+        set_bn(m.base_nn.bn1, bb["bn_init"], bs["bn_init"])
+        layers = [m.base_nn.layer1, m.base_nn.layer2, m.base_nn.layer3,
+                  m.base_nn.layer4]
+        for li, layer in enumerate(layers):
+            for bi, block in enumerate(layer):
+                scope = f"stage{li+1}_block{bi+1}"
+                for ci, (c, b) in enumerate(
+                    ((block.conv1, block.bn1), (block.conv2, block.bn2),
+                     (block.conv3, block.bn3))
+                ):
+                    set_conv(c, bb[scope][f"Conv_{ci}"])
+                    set_bn(b, bb[scope][f"BatchNorm_{ci}"],
+                           bs[scope][f"BatchNorm_{ci}"])
+                if block.downsample is not None:
+                    set_conv(block.downsample[0], bb[scope]["conv_proj"])
+                    set_bn(block.downsample[1], bb[scope]["norm_proj"],
+                           bs[scope]["norm_proj"])
+        _copy_head_to_torch(m, params, batch_stats)
+    return m
+
+
+def ref_train_transform(img_chw, mean, std, rng):
+    """dataloader.py:41-50 via cv2 (albumentations not in this image)."""
+    img = np.moveaxis(img_chw, 0, 2)  # HWC uint8
+    if rng.random() < 0.5:
+        img = img[::-1, :, :]
+    if rng.random() < 0.5:
+        img = img[:, ::-1, :]
+    angle = rng.uniform(-180.0, 180.0)
+    h, w = img.shape[:2]
+    mat = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, 1.0)
+    img = cv2.warpAffine(np.ascontiguousarray(img), mat, (w, h),
+                         flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_REFLECT_101)
+    oy = rng.integers(0, h - CROP + 1)
+    ox = rng.integers(0, w - CROP + 1)
+    img = img[oy:oy + CROP, ox:ox + CROP, :].astype(np.float32)
+    img = (img / 255.0 - mean[None, None, :]) / std[None, None, :]
+    return np.moveaxis(img, 2, 0)
+
+
+def ref_eval_transform(img_chw, mean, std):
+    off = (img_chw.shape[-1] - CROP) // 2
+    img = img_chw[:, off:off + CROP, off:off + CROP].astype(np.float32)
+    return (img / 255.0 - mean[:, None, None]) / std[:, None, None]
+
+
+def torch_batch(b, rng, train):
+    imgs = b["images"]  # [B, G, 6, H, W] uint8
+    B, G = imgs.shape[:2]
+    out = np.zeros((B, G, 6, CROP, CROP), np.float32)
+    for i in range(B):
+        mean, std = b["mean"][i], b["std"][i]
+        for g in range(G):
+            if train:
+                out[i, g] = ref_train_transform(imgs[i, g], mean, std, rng)
+            else:
+                out[i, g] = ref_eval_transform(imgs[i, g], mean, std)
+    return out
+
+
+def run_torch(params, batch_stats, epochs_data, val_data, test_data,
+              n_epochs, lr):
+    import torch
+
+    model = torch_model_from_flax(params, batch_stats)
+    opt = torch.optim.SGD(model.parameters(), lr=lr, momentum=0.9,
+                          nesterov=True, weight_decay=3e-5)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, n_epochs, eta_min=lr / 100)
+    crit = torch.nn.CrossEntropyLoss()
+    rng = np.random.default_rng(123)
+    accs = []
+    for e, batches in enumerate(epochs_data):
+        model.train()
+        for b in batches:
+            x = torch.from_numpy(torch_batch(b, rng, train=True))
+            y = torch.from_numpy(b["labels"].astype(np.int64))
+            keep = b.get("valid", np.ones(len(y))).astype(bool)
+            opt.zero_grad()
+            loss = crit(model(x)[keep], y[keep])
+            loss.backward()
+            opt.step()
+        sched.step()
+        model.eval()
+        correct = total = 0
+        with torch.no_grad():
+            for b in val_data:
+                x = torch.from_numpy(torch_batch(b, rng, train=False))
+                pred = model(x).argmax(1).numpy()
+                keep = b.get("valid", np.ones(len(pred))).astype(bool)
+                correct += (pred[keep] == b["labels"][keep]).sum()
+                total += keep.sum()
+        accs.append(correct / max(total, 1))
+        print(f"[torch] epoch {e+1}: val acc {accs[-1]:.3f}", flush=True)
+
+    model.eval()
+    probs, ids = [], []
+    with torch.no_grad():
+        for b in test_data:
+            x = b["images"].astype(np.float32)  # full-size, G=6
+            x = (x / 255.0 - b["mean"][:, None, :, None, None]) / \
+                b["std"][:, None, :, None, None]
+            p = torch.softmax(model(torch.from_numpy(x)), 1).numpy()
+            for i, code in enumerate(b["id_codes"]):
+                if code:
+                    probs.append(p[i]); ids.append(code)
+    return accs, np.asarray(probs), ids
+
+
+# ---------------------------------------------------------------------------
+# rxtpu side
+# ---------------------------------------------------------------------------
+
+def run_rxtpu(cfg, model, state, epochs_data, val_data, test_data, n_epochs):
+    from rxtpu.train.step import (
+        make_eval_step, make_predict_step, make_train_step)
+
+    tstep = make_train_step(model, CROP, donate=False, augment="gather")
+    estep = make_eval_step(model, CROP)
+    pstep = make_predict_step(model, None)
+    key = jax.random.PRNGKey(0)
+    flag = jnp.asarray(True)
+    accs = []
+    for e, batches in enumerate(epochs_data):
+        for b in batches:
+            bb = {k: v for k, v in b.items() if k not in ("id_codes", "valid")}
+            state, m = tstep(state, bb, key, flag)
+        correct = total = 0.0
+        for b in val_data:
+            bb = {k: v for k, v in b.items() if k != "id_codes"}
+            m = estep(state, bb)
+            correct += float(m["correct"]); total += float(m["count"])
+        accs.append(correct / max(total, 1.0))
+        print(f"[rxtpu] epoch {e+1}: val acc {accs[-1]:.3f}", flush=True)
+
+    probs, ids = [], []
+    for b in test_data:
+        bb = {k: v for k, v in b.items() if k not in ("id_codes", "valid")}
+        p = np.asarray(pstep(state, bb))
+        for i, code in enumerate(b["id_codes"]):
+            if code:
+                probs.append(p[i]); ids.append(code)
+    return accs, np.asarray(probs), ids
+
+
+# ---------------------------------------------------------------------------
+# leak pipeline (shared)
+# ---------------------------------------------------------------------------
+
+def leak_submission(probs, ids, plate_groups, exp_types):
+    """Per-experiment mask -> greedy assignment (test.py:41-56), the exact
+    pipeline rxtpu/cli.py:454-456 runs. Returns {id_code: sirna}."""
+    from rxtpu.infer import constrained_predict
+
+    out = {}
+    by_exp = {}
+    for i, code in enumerate(ids):
+        exp = code.rsplit("_", 2)[0]
+        by_exp.setdefault(exp, []).append(i)
+    for exp, rows in by_exp.items():
+        p = probs[rows]
+        plates = np.asarray([int(ids[i].rsplit("_", 2)[1]) for i in rows])
+        preds = constrained_predict(p, plates, plate_groups, exp_types[exp],
+                                    method="greedy")
+        for i, r in enumerate(rows):
+            out[ids[r]] = int(preds[i])
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--root", default="/tmp/rxtpu_parity_leak_data")
+    ap.add_argument("--out", default="PARITY_RUN.md")
+    args = ap.parse_args()
+
+    from rxtpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from rxtpu.train import build_model, create_train_state
+
+    t0 = time.time()
+    (train_pipe, val_pipe, test_pipe, plate_groups, exp_types,
+     truth) = build_data(args.root, args.batch)
+    epochs_data = record_epochs(train_pipe, args.epochs)
+    val_data = [dict(b) for b in val_pipe.epoch(0)]
+    test_data = [dict(b) for b in test_pipe.epoch(0)]
+    n_steps = sum(len(e) for e in epochs_data)
+    print(f"data: {len(epochs_data[0])} train batches/epoch, "
+          f"{len(val_data)} val, {len(test_data)} test", flush=True)
+
+    cfg = Config(
+        data=DataConfig(path_data=args.root, crop_size=CROP, src_size=IMG),
+        model=ModelConfig(backbone="resnet50", pretrained=False,
+                          nb_classes=NB_CLASSES, compute_dtype="float32"),
+        train=TrainConfig(bs_per_device=args.batch,
+                          nb_epochs=args.epochs),
+        experiment_id="parity",
+    )
+    model = build_model(cfg)
+    state, lr = create_train_state(
+        cfg, model, steps_per_epoch=len(epochs_data[0]))
+    params0 = jax.tree_util.tree_map(np.asarray, state.params)
+    stats0 = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+
+    jx_accs, jx_probs, jx_ids = run_rxtpu(
+        cfg, model, state, epochs_data, val_data, test_data, args.epochs)
+    th_accs, th_probs, th_ids = run_torch(
+        params0, stats0, epochs_data, val_data, test_data, args.epochs, lr)
+
+    assert jx_ids == th_ids
+    jx_sub = leak_submission(jx_probs, jx_ids, plate_groups, exp_types)
+    th_sub = leak_submission(th_probs, th_ids, plate_groups, exp_types)
+    codes = sorted(jx_sub)
+    agree = float(np.mean([jx_sub[c] == th_sub[c] for c in codes]))
+    jx_acc = float(np.mean([jx_sub[c] == truth[c] for c in codes]))
+    th_acc = float(np.mean([th_sub[c] == truth[c] for c in codes]))
+    raw_agree = float((jx_probs.argmax(1) == th_probs.argmax(1)).mean())
+
+    lines = [
+        "# Cross-framework accuracy parity run",
+        "",
+        f"Generated by `dev/parity_run.py` on {time.strftime('%Y-%m-%d')}",
+        "",
+        "Same plate-balanced synthetic dataset "
+        f"(`make_plate_balanced_synthetic_dataset`: {N_TRAIN_EXPS} train "
+        f"experiments x {NB_CLASSES} sirna wells honoring the Kaggle "
+        "plate-leak structure of main.py:157-167, 2 test experiments of "
+        f"types 0/1, {IMG}^2 px), same sklearn stratified split (seed 42, "
+        "main.py:108-113), same raw uint8 batch streams, same initial "
+        "weights (flax init exported to the torch mirror), same "
+        f"hyperparameters (SGD nesterov momentum .9 wd 3e-5, lr {lr:.4g} "
+        "= 0.0005*bs, per-epoch cosine). rxtpu trains with its production "
+        "fused step + exact warp augment; torch trains with the reference "
+        "transform re-implemented in cv2 (dataloader.py:41-50). Both test "
+        "predictions (G=6 two-site, full-size) go through the same "
+        "mask+greedy leak pipeline (test.py:41-56).",
+        "",
+        "| epoch | rxtpu val acc | torch val acc |",
+        "|---|---|---|",
+    ]
+    for i, (a, b) in enumerate(zip(jx_accs, th_accs)):
+        lines.append(f"| {i+1} | {a:.3f} | {b:.3f} |")
+    lines += [
+        "",
+        f"- Final val accuracy: rxtpu **{jx_accs[-1]:.3f}** vs torch "
+        f"**{th_accs[-1]:.3f}** (gap {abs(jx_accs[-1]-th_accs[-1]):.3f}).",
+        f"- Leak-pipeline submissions over {len(codes)} test wells: "
+        f"**{100*agree:.1f}% agreement** "
+        f"({'identical' if agree == 1.0 else 'NOT identical'}); "
+        f"accuracy vs ground truth: rxtpu **{jx_acc:.3f}**, torch "
+        f"**{th_acc:.3f}** (raw argmax agreement {100*raw_agree:.1f}%).",
+        f"- Steps trained: {n_steps} per framework; wall "
+        f"{time.time()-t0:.0f}s on 1 CPU core.",
+    ]
+    ok = (abs(jx_accs[-1] - th_accs[-1]) <= 0.15
+          and min(jx_accs[-1], th_accs[-1]) >= 0.75
+          and agree >= 0.9)
+    lines.append("")
+    lines.append(
+        "**Result: PASS** (comparable accuracy through both frameworks' "
+        "full train->predict->leak pipelines)." if ok
+        else "**Result: FAIL** — investigate before trusting accuracy parity.")
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines[-7:]))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

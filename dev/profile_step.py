@@ -64,8 +64,7 @@ def build(batch: int, crop: int = 364, src: int = 512, mode: str = "train",
         def run(st, out):
             return step(st, dbatch, key, flag)
 
-        readback = lambda out: float(out[1]["loss"])  # noqa: E731
-        unpack = lambda out: out  # noqa: E731 (state, metrics)
+        readback = lambda out: float(out["loss"])  # noqa: E731
     elif mode == "eval":
         step = make_eval_step(model, crop)
         args = (state, dbatch)
@@ -73,7 +72,7 @@ def build(batch: int, crop: int = 364, src: int = 512, mode: str = "train",
         def run(st, out):
             return st, step(st, dbatch)
 
-        readback = lambda out: float(out[1]["loss_sum"])  # noqa: E731
+        readback = lambda out: float(out["loss_sum"])  # noqa: E731
     elif mode == "predict":
         step = make_predict_step(model, crop if crop else None)
         args = (state, dbatch)
@@ -81,7 +80,7 @@ def build(batch: int, crop: int = 364, src: int = 512, mode: str = "train",
         def run(st, out):
             return st, step(st, dbatch)
 
-        readback = lambda out: float(out[1][0, 0])  # noqa: E731
+        readback = lambda out: float(out[0, 0])  # noqa: E731
     else:
         raise ValueError(mode)
     return step, args, run, readback

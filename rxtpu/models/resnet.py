@@ -134,6 +134,9 @@ class ResNet(nn.Module):
         x = conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv_init")(x)
         x = norm(name="bn_init")(x)
         x = nn.relu(x)
+        # NOTE: rxtpu.ops.maxpool's elementwise custom-vjp backward was
+        # A/B-measured 15 ms/step SLOWER than select-and-scatter here
+        # (OPTIMIZATION.md round 3); the XLA default stays.
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         fuse = (
             self.fuse_blocks
