@@ -47,7 +47,7 @@ import numpy as np  # noqa: E402
 CROP = 48
 IMG = 64
 NB_CLASSES = 8
-N_TRAIN_EXPS = 4
+N_TRAIN_EXPS = int(os.environ.get("PARITY_N_EXPS", "4"))
 
 
 # ---------------------------------------------------------------------------
@@ -379,10 +379,16 @@ def main():
     ]
     for i, (a, b) in enumerate(zip(jx_accs, th_accs)):
         lines.append(f"| {i+1} | {a:.3f} | {b:.3f} |")
+    # mean over the last 3 epochs: on a small val set single-epoch accuracy
+    # quantizes coarsely (1/n_val); the tail mean is the stable comparison
+    jx_tail = float(np.mean(jx_accs[-3:]))
+    th_tail = float(np.mean(th_accs[-3:]))
     lines += [
         "",
-        f"- Final val accuracy: rxtpu **{jx_accs[-1]:.3f}** vs torch "
-        f"**{th_accs[-1]:.3f}** (gap {abs(jx_accs[-1]-th_accs[-1]):.3f}).",
+        f"- Final val accuracy (mean of last 3 epochs): rxtpu "
+        f"**{jx_tail:.3f}** vs torch **{th_tail:.3f}** "
+        f"(gap {abs(jx_tail-th_tail):.3f}; last epoch "
+        f"{jx_accs[-1]:.3f} vs {th_accs[-1]:.3f}).",
         f"- Leak-pipeline submissions over {len(codes)} test wells: "
         f"**{100*agree:.1f}% agreement** "
         f"({'identical' if agree == 1.0 else 'NOT identical'}); "
@@ -391,8 +397,8 @@ def main():
         f"- Steps trained: {n_steps} per framework; wall "
         f"{time.time()-t0:.0f}s on 1 CPU core.",
     ]
-    ok = (abs(jx_accs[-1] - th_accs[-1]) <= 0.15
-          and min(jx_accs[-1], th_accs[-1]) >= 0.75
+    ok = (abs(jx_tail - th_tail) <= 0.15
+          and min(jx_tail, th_tail) >= 0.75
           and agree >= 0.9)
     lines.append("")
     lines.append(

@@ -67,10 +67,13 @@ class BatchNorm(nn.Module):
             "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), feature_shape
         )
 
+        # stats in f32 normally; promote to f64 when the input is f64
+        # (cross-framework numerics probes, dev/parity_gradcheck.py --f64)
+        stat_dtype = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.float32)
+            xf = x.astype(stat_dtype)
             # single fused pass: E[x] and E[x^2] reduce together
             mean = jnp.mean(xf, reduction_axes)
             mean2 = jnp.mean(jnp.square(xf), reduction_axes)
@@ -94,7 +97,8 @@ class BatchNorm(nn.Module):
                 ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
 
         dtype = self.dtype if self.dtype is not None else x.dtype
-        mul = scale.astype(jnp.float32) * jax.lax.rsqrt(var + self.epsilon)
+        mul = scale.astype(stat_dtype) * jax.lax.rsqrt(
+            var.astype(stat_dtype) + self.epsilon)
         if self.folded_apply and not self.use_running_average:
             # fused-kernel rounding form: f32 affine, rounded only on the
             # output write (matches rxtpu.ops.fused_block's BN application)
