@@ -113,6 +113,16 @@ def test_get_augment_fn():
         get_augment_fn("nope")
 
 
+def test_augment_passthrough_backend():
+    """'none' backend: pre-augmented views pass through untouched (the
+    lockstep parity harness contract, dev/parity_lockstep.py)."""
+    fn = get_augment_fn("none")
+    views = jnp.ones((2, 3, 8, 8, 6), jnp.float32) * 0.5
+    out = fn(views, jnp.zeros((2, 6)), jnp.ones((2, 6)),
+             jax.random.PRNGKey(0), crop_size=8, train=True)
+    assert out is views
+
+
 def test_v1_transpose_pipeline_matches_fused():
     """Pin the v1 (transpose-based) 3-pass pipeline to the fused one.
 
