@@ -61,8 +61,8 @@ def main():
     dbatch = shard_batch(bh, mesh)
     views = args.batch * n_dev * args.g
 
-    for fold in (True, False):
-        step = make_eval_step(model, args.crop, fold=fold)
+    for fold, fstem in ((True, True), (True, False), (False, False)):
+        step = make_eval_step(model, args.crop, fold=fold, fused_stem=fstem)
         m = None
         for _ in range(3):
             m = step(state, dbatch)
@@ -75,7 +75,7 @@ def main():
             float(m["loss_sum"])
             dt = (time.perf_counter() - t0) / args.steps
             best = dt if best is None else min(best, dt)
-        print(f"fold={fold}: {1000*best:.3f} ms/step = "
+        print(f"fold={fold} fused_stem={fstem}: {1000*best:.3f} ms/step = "
               f"{views/best:.0f} views/s", flush=True)
 
 

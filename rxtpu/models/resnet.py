@@ -104,6 +104,11 @@ class ResNet(nn.Module):
     # Inference-only variant consuming BN-folded weights
     # (rxtpu.infer.fold): convs carry a bias, norms are gone entirely.
     folded: bool = False
+    # Input is the STEM OUTPUT (post conv_init/bn/relu/maxpool), produced
+    # by the fused Pallas stem kernel (rxtpu.ops.fused_stem); skip the
+    # stem ops here. The conv_init/bn_init params still exist in the tree
+    # (flax ignores unconsumed variables at apply time).
+    stem_input: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -130,14 +135,15 @@ class ResNet(nn.Module):
             )
 
         x = x.astype(self.dtype)
-        # 6-channel stem: 7x7/2 conv (models.py:18-27), then 3x3/2 maxpool.
-        x = conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv_init")(x)
-        x = norm(name="bn_init")(x)
-        x = nn.relu(x)
-        # NOTE: rxtpu.ops.maxpool's elementwise custom-vjp backward was
-        # A/B-measured 15 ms/step SLOWER than select-and-scatter here
-        # (OPTIMIZATION.md round 3); the XLA default stays.
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if not self.stem_input:
+            # 6-channel stem: 7x7/2 conv (models.py:18-27), 3x3/2 maxpool.
+            x = conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv_init")(x)
+            x = norm(name="bn_init")(x)
+            x = nn.relu(x)
+            # NOTE: rxtpu.ops.maxpool's elementwise custom-vjp backward was
+            # A/B-measured 15 ms/step SLOWER than select-and-scatter here
+            # (OPTIMIZATION.md round 3); the XLA default stays.
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         fuse = (
             self.fuse_blocks
             and train
@@ -239,5 +245,7 @@ def make_backbone(arch: str, **kw):
         kw.pop("fuse_blocks", None)  # bottleneck fusion is ResNet-only
         if kw.pop("folded", False):  # BN folding is ResNet-only (fold.py)
             raise ValueError("densenet121 does not support BN folding")
+        if kw.pop("stem_input", False):  # fused stem is ResNet-only
+            raise ValueError("densenet121 does not support the fused stem")
         return densenet121(**kw)
     raise ValueError(f"unknown backbone {arch!r}")

@@ -36,6 +36,7 @@ class TwoSitesNN(nn.Module):
     bn_axis_name: Optional[str] = None
     fuse_blocks: bool = False  # Pallas fused bottlenecks in train mode
     folded: bool = False       # BN-folded inference weights (rxtpu.infer.fold)
+    stem_input: bool = False   # x is the fused-stem output (rxtpu.ops.fused_stem)
 
     @nn.compact
     def __call__(self, x, train: bool = False, labels=None):
@@ -49,6 +50,7 @@ class TwoSitesNN(nn.Module):
             bn_axis_name=self.bn_axis_name,
             fuse_blocks=self.fuse_blocks,
             folded=self.folded,
+            stem_input=self.stem_input,
             name="backbone",
         )(x, train=train)                               # [B*G, F]
         f = feats.shape[-1]

@@ -76,7 +76,7 @@ def _stem_kernel(scale_ref, bias_ref, w_ref, cb_ref, img_ref, out_ref, *,
     # rank-2 flatten around the MXU dot is tile-aligned (Mosaic rejects
     # shape casts that split a non-128-aligned lane dim)
     lane = 128
-    wide = ((6 + 2) // 4) + lane  # max col offset + lane block
+    wide = max(sub, ((6 + 2) // 4) + lane)  # >= max col offset + lane block
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (1, sub, wide), 1)
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (1, sub, wide), 2)
     planes = {}
@@ -87,8 +87,10 @@ def _stem_kernel(scale_ref, bias_ref, w_ref, cb_ref, img_ref, out_ref, *,
             for b in range(4):
                 p = img_ref[0, c, a * 4 + b:a * 4 + b + 1, :, :]  # [1,sub,sub]
                 x = p.astype(jnp.int32).astype(jnp.float32) * sc + bs
-                x = jnp.concatenate(
-                    [x, jnp.zeros((1, sub, wide - sub), jnp.float32)], axis=2)
+                if wide > sub:
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((1, sub, wide - sub), jnp.float32)],
+                        axis=2)
                 rr = 4 * rows_i + a
                 cc = 4 * cols_i + b
                 valid = ((rr >= _PAD) & (rr < _PAD + crop)

@@ -177,19 +177,56 @@ def _make_eval_apply(model, fold: bool = True) -> Callable:
     return apply_fn
 
 
-def make_eval_step(model, crop_size: int, fold: bool = True) -> Callable:
+def _make_fused_stem_apply(model, crop_size) -> Callable:
+    """(state, batch) -> logits with the fused Pallas stem kernel.
+
+    The whole crop+normalize+conv7x7/2+BN-affine/relu+maxpool chain runs
+    as ONE kernel per view (rxtpu.ops.fused_stem) on the raw uint8 batch;
+    the rest of the network consumes BN-folded weights from the stem
+    output (ResNet + mlp head only; see fold.foldable)."""
+    from rxtpu.infer.fold import fold_variables
+    from rxtpu.ops.fused_stem import fused_stem
+
+    stem_model = model.clone(folded=True, fuse_blocks=False, stem_input=True)
+
+    def apply_fn(state, batch):
+        images = batch["images"]  # uint8 [B, G, C, H, W]
+        b, g = images.shape[0], images.shape[1]
+        imgs = images.reshape((b * g,) + images.shape[2:])
+        scale = jnp.repeat(1.0 / (255.0 * batch["std"]), g, axis=0)
+        nbias = jnp.repeat(-batch["mean"] / batch["std"], g, axis=0)
+        fvars = fold_variables(state.params, state.batch_stats)
+        stem_k = fvars["params"]["backbone"]["conv_init"]["kernel"]
+        stem_b = fvars["params"]["backbone"]["conv_init"]["bias"]
+        maps = fused_stem(imgs, scale, nbias, stem_k, stem_b,
+                          crop_size=crop_size)
+        maps = jnp.transpose(maps, (0, 2, 3, 1))  # NCHW -> NHWC (~free)
+        maps = maps.reshape((b, g) + maps.shape[1:])
+        return stem_model.apply(fvars, maps, train=False)
+
+    return apply_fn
+
+
+def make_eval_step(model, crop_size: int, fold: bool = True,
+                   fused_stem: bool = False) -> Callable:
     """Center-crop + normalize + forward; returns per-batch (loss_sum, correct, n).
 
     Mirrors the ignite evaluator metrics (train.py:39-42) as exact sums so
     epoch metrics are independent of batch partitioning.
     """
     apply_fn = _make_eval_apply(model, fold)
+    fused_apply = (
+        _make_fused_stem_apply(model, crop_size) if fused_stem else None
+    )
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        views = eval_batch_normalize(
-            batch["images"], batch["mean"], batch["std"], crop_size
-        )
-        logits = apply_fn(state, views)
+        if fused_apply is not None:
+            logits = fused_apply(state, batch)
+        else:
+            views = eval_batch_normalize(
+                batch["images"], batch["mean"], batch["std"], crop_size
+            )
+            logits = apply_fn(state, views)
         labels = batch["labels"]
         valid = batch.get("valid")
         if valid is None:
@@ -206,7 +243,8 @@ def make_eval_step(model, crop_size: int, fold: bool = True) -> Callable:
 
 
 def make_predict_step(
-    model, crop_size: Optional[int] = None, fold: bool = True
+    model, crop_size: Optional[int] = None, fold: bool = True,
+    fused_stem: bool = False
 ) -> Callable:
     """Test-time softmax probabilities (test.py:27-29): G=6 two-site TTA.
 
@@ -216,12 +254,18 @@ def make_predict_step(
     cropped inference.
     """
     apply_fn = _make_eval_apply(model, fold)
+    fused_apply = (
+        _make_fused_stem_apply(model, crop_size) if fused_stem else None
+    )
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        views = eval_batch_normalize(
-            batch["images"], batch["mean"], batch["std"], crop_size
-        )
-        logits = apply_fn(state, views)
+        if fused_apply is not None:
+            logits = fused_apply(state, batch)
+        else:
+            views = eval_batch_normalize(
+                batch["images"], batch["mean"], batch["std"], crop_size
+            )
+            logits = apply_fn(state, views)
         return jax.nn.softmax(logits, axis=-1)
 
     return jax.jit(step_fn)
