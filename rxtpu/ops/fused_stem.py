@@ -114,8 +114,10 @@ def _stem_kernel(scale_ref, bias_ref, w_ref, cb_ref, img_ref, out_ref, *,
                         (1, ro + n_r, co + lane)))
         patches = jnp.concatenate(taps, axis=0)          # [294, n_r, 128]
         patches = patches.reshape(n_ch * 49, n_r * lane)  # tile-aligned
+        # canonical [M, K] x [K, N] MXU form (transposed-lhs contraction
+        # over sublanes takes a slow Mosaic path)
         out = jax.lax.dot_general(
-            w, patches, (((0,), (0,)), ((), ())),
+            w, patches, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         out = out.reshape(out.shape[0], n_r, lane)[:, :, :n_c]
         return jnp.maximum(out + cb_ref[...], 0.0)
@@ -203,8 +205,8 @@ def fused_stem(
     x4 = jnp.stack(
         [xp[:, :, a::4, b::4] for a in range(4) for b in range(4)], axis=2)
 
-    # [7,7,C,M] -> [C*7*7, M] matching the (c, ky, kx) tap order above
-    w2 = jnp.transpose(weights, (2, 0, 1, 3)).reshape(c * 49, m)
+    # [7,7,C,M] -> [M, C*7*7] matching the (c, ky, kx) tap order above
+    w2 = jnp.transpose(weights, (2, 0, 1, 3)).reshape(c * 49, m).T
     kernel = functools.partial(
         _stem_kernel, crop=crop, n_ch=c, sub=sub,
         # interpret mode executes on CPU XLA, which cannot lower a
@@ -217,7 +219,7 @@ def fused_stem(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scale [N, C]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # bias [N, C]
-            pl.BlockSpec((c * 49, m), lambda i: (0, 0),
+            pl.BlockSpec((m, c * 49), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),   # weights (constant)
             pl.BlockSpec((m, 1, 1), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),   # conv bias (constant)
