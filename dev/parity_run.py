@@ -231,9 +231,9 @@ def run_torch(params, batch_stats, epochs_data, val_data, test_data,
                 correct += (pred[keep] == b["labels"][keep]).sum()
                 total += keep.sum()
         accs.append(correct / max(total, 1))
-        # best-checkpoint selection, as the reference's ModelCheckpoint
-        # (train.py: save best val accuracy; TEST runs the best model)
-        if best_sd is None or accs[-1] >= max(accs[:-1] or [0]):
+        # best-checkpoint selection, as the reference (train.py:88: strict
+        # improvement only — ties keep the FIRST best; TEST runs that model)
+        if best_sd is None or accs[-1] > max(accs[:-1] or [-1.0]):
             import copy
 
             best_sd = copy.deepcopy(model.state_dict())
@@ -280,8 +280,9 @@ def run_rxtpu(cfg, model, state, epochs_data, val_data, test_data, n_epochs,
             m = estep(state, bb)
             correct += float(m["correct"]); total += float(m["count"])
         accs.append(correct / max(total, 1.0))
-        # best-checkpoint selection (reference ModelCheckpoint semantics)
-        if accs[-1] >= max(accs[:-1] or [0]):
+        # best-checkpoint selection (reference train.py:88: strict
+        # improvement only — ties keep the FIRST best)
+        if len(accs) == 1 or accs[-1] > max(accs[:-1]):
             best_state = state
         print(f"[rxtpu] epoch {e+1}: val acc {accs[-1]:.3f}", flush=True)
 

@@ -7,7 +7,8 @@ head) normalizes the batch with the *biased* variance but stores the
 Flax's ``nn.BatchNorm`` stores the biased one — a real accuracy drift at
 eval time: for the head's BatchNorm1d at the reference batch size 16 the
 running variance (and hence every eval-mode activation scale) is off by
-``16/15``. This module reproduces torch exactly:
+``16/15``. This module reproduces torch's semantics exactly (batch
+variance computed in the fast single-pass form — see the in-code note):
 
 - train: normalize with biased batch var; update ``mean``/``var`` running
   stats with ``momentum`` (flax convention: ``new = m*old + (1-m)*batch``)
@@ -74,7 +75,14 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(stat_dtype)
-            # single fused pass: E[x] and E[x^2] reduce together
+            # single fused pass: E[x] and E[x^2] reduce together. This is
+            # the fast-variance form (same as flax's default): XLA fuses
+            # both reduces into the producing conv (OPTIMIZATION.md), where
+            # a two-pass torch/Welford variance would force a second full
+            # activation read. Deliberate deviation from torch's kernel:
+            # E[x^2]-E[x]^2 cancels for |mean| >> std, which BN-scale
+            # activations don't approach; the cross-framework parity tests
+            # bound the realized difference.
             mean = jnp.mean(xf, reduction_axes)
             mean2 = jnp.mean(jnp.square(xf), reduction_axes)
             n = 1
@@ -91,10 +99,18 @@ class BatchNorm(nn.Module):
             if not self.is_initializing():
                 # torch stores the UNBIASED variance (Bessel n/(n-1));
                 # normalization below still uses the biased one
-                unbiased = var * (n / jnp.maximum(n - 1, 1)).astype(jnp.float32)
+                unbiased = var * (n / jnp.maximum(n - 1, 1)).astype(stat_dtype)
                 m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
-                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+                # update in stat_dtype but store back at the leaves' own
+                # dtype: an f64 probe input must not flip the batch_stats
+                # pytree to f64 (that would retrace every jitted apply and
+                # break checkpoint round-trips against f32-initialized trees)
+                ra_mean.value = (
+                    m * ra_mean.value.astype(stat_dtype) + (1.0 - m) * mean
+                ).astype(ra_mean.value.dtype)
+                ra_var.value = (
+                    m * ra_var.value.astype(stat_dtype) + (1.0 - m) * unbiased
+                ).astype(ra_var.value.dtype)
 
         dtype = self.dtype if self.dtype is not None else x.dtype
         mul = scale.astype(stat_dtype) * jax.lax.rsqrt(

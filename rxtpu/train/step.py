@@ -184,10 +184,16 @@ def _make_fused_stem_apply(model, crop_size) -> Callable:
     as ONE kernel per view (rxtpu.ops.fused_stem) on the raw uint8 batch;
     the rest of the network consumes BN-folded weights from the stem
     output (ResNet + mlp head only; see fold.foldable)."""
-    from rxtpu.infer.fold import fold_variables
+    from rxtpu.infer.fold import fold_variables, foldable
     from rxtpu.ops.fused_stem import fused_stem
 
+    if not foldable(model):
+        raise ValueError(
+            "fused_stem=True needs a BN-foldable model (resnet backbone + "
+            f"mlp head); got backbone={model.backbone!r} head={model.head!r}"
+        )
     stem_model = model.clone(folded=True, fuse_blocks=False, stem_input=True)
+    stem_dtype = model.dtype
 
     def apply_fn(state, batch):
         images = batch["images"]  # uint8 [B, G, C, H, W]
@@ -199,7 +205,7 @@ def _make_fused_stem_apply(model, crop_size) -> Callable:
         stem_k = fvars["params"]["backbone"]["conv_init"]["kernel"]
         stem_b = fvars["params"]["backbone"]["conv_init"]["bias"]
         maps = fused_stem(imgs, scale, nbias, stem_k, stem_b,
-                          crop_size=crop_size)
+                          crop_size=crop_size, out_dtype=stem_dtype)
         maps = jnp.transpose(maps, (0, 2, 3, 1))  # NCHW -> NHWC (~free)
         maps = maps.reshape((b, g) + maps.shape[1:])
         return stem_model.apply(fvars, maps, train=False)

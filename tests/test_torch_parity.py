@@ -273,6 +273,31 @@ def test_single_batchnorm_train_parity():
         np.transpose(np.asarray(yj_e), (0, 3, 1, 2)), yt_e, atol=1e-5)
 
 
+def test_batchnorm_f64_input_keeps_f32_stats():
+    """An f64 probe input must not flip the stored batch_stats to f64.
+
+    The f64 path (dev/parity_gradcheck.py --f64) computes stats in f64 but
+    stores back at the leaves' own dtype, so jitted applies don't retrace
+    and checkpoints keep round-tripping against f32-initialized trees."""
+    from rxtpu.models.norm import BatchNorm
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        bn = BatchNorm(use_running_average=False, momentum=0.9,
+                       dtype=jnp.float64)
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(4, 5, 3)), jnp.float64)
+        variables = bn.init(jax.random.PRNGKey(0), x)
+        assert variables["batch_stats"]["mean"].dtype == jnp.float32
+        y, mutated = bn.apply(x=x, mutable=["batch_stats"],
+                              variables=variables)
+        assert y.dtype == jnp.float64
+        assert mutated["batch_stats"]["mean"].dtype == jnp.float32
+        assert mutated["batch_stats"]["var"].dtype == jnp.float32
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_torch_forward_parity_eval():
     """Eval-mode logits agree with the real torch architecture (f32)."""
     model, params, batch_stats, tmodel = _build_pair()
