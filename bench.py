@@ -108,7 +108,7 @@ def run_bench(backbone: str, batch: int, steps: int, warmup: int, crop: int,
     except Exception:
         pass
 
-    for _ in range(warmup):
+    for _ in range(max(warmup, 1)):  # >=1: compile must stay out of the timing
         state, m = step(state, dbatch, key, flag)
     float(m["loss"])  # host readback: the only reliable barrier on tunneled chips
 
@@ -333,11 +333,19 @@ def run_pipeline_bench(backbone: str, batch: int, steps: int, crop: int, src: in
     # remote relay (~30 MB/s); a production v5e host feeds over PCIe
     # (>= 8 GB/s). Measured so the stall numbers are interpretable.
     probe = np.zeros((8 << 20,), np.uint8)
-    jax.device_put(probe).block_until_ready()  # connection warmup
+    # warmup transfer + readback: compiles the sum, drains the relay queue,
+    # and (readback, not block_until_ready) actually lands the bytes
+    d = jax.device_put(probe)
+    float(jnp.sum(d[:16]))
+    # device-resident readback latency = the relay roundtrip to subtract
+    t0 = time.perf_counter()
+    float(jnp.sum(d[:16]))
+    rtt_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     d = jax.device_put(probe)
     float(jnp.sum(d[:16]))
-    h2d_mbps = probe.nbytes / (time.perf_counter() - t0) / 1e6
+    h2d_s = max(time.perf_counter() - t0 - rtt_s, 1e-9)
+    h2d_mbps = probe.nbytes / h2d_s / 1e6
 
     # host assembly rate (what bounds the feed when H2D is not the tunnel):
     # steady-state producer inter-arrival time, page cache warm
@@ -350,6 +358,9 @@ def run_pipeline_bench(backbone: str, batch: int, steps: int, crop: int, src: in
     for _ in range(n_probe):
         next(host_it)
     assemble_s = (time.perf_counter() - t0) / n_probe
+    # stop the probe's producer thread and release its prefetched batches
+    # before the measured leg starts its own producer
+    host_it.close()
 
     storage_ram = _ram_backed(root)
     storage_mbps = _storage_cold_mbps(
@@ -384,6 +395,7 @@ def run_pipeline_bench(backbone: str, batch: int, steps: int, crop: int, src: in
         # the stall-at-measured-storage projection is suppressed then
         "storage_cold_ram_backed": storage_ram,
         "batch_MB": int(hb["images"].nbytes) / 1e6,
+        "pipeline_batch": global_batch,
     }
 
 
@@ -437,7 +449,15 @@ def main():
             # batch's bytes, PCIe transfer) — the cold storage term is
             # measured (fadvise-evicted scratch file, record-sized random
             # reads), not assumed from a page-cache-warm pack.
-            feed_s = max(r["host_assemble_ms"] / 1000.0, r["batch_MB"] * 1e6 / 8e9)
+            # the pipeline leg runs at bs<=16 while the resident step leg
+            # runs at --batch; scale the feed-side quantities (assembly
+            # time and bytes are linear in samples — per-record decode and
+            # copies) to the resident batch before comparing them against
+            # the resident step time
+            bscale = bench_batch / max(r["pipeline_batch"], 1)
+            assemble_s = bscale * r["host_assemble_ms"] / 1000.0
+            batch_mb = bscale * r["batch_MB"]
+            feed_s = max(assemble_s, batch_mb * 1e6 / 8e9)
             step_s = r["step_time_ms"] / 1000.0
             exposed = max(0.0, feed_s - step_s)
             r["projected_stall_pct_pcie"] = 100.0 * exposed / (exposed + step_s)
@@ -448,9 +468,9 @@ def main():
             # against THIS machine's measured cold-cache rate (a dev-VM
             # virtio disk — production v5e hosts feed from NVMe at
             # multi-GB/s, which the _required figure shows is plenty).
-            r["storage_MBps_required"] = r["batch_MB"] / step_s
+            r["storage_MBps_required"] = batch_mb / step_s
             if r.get("storage_MBps_cold") and not r.get("storage_cold_ram_backed"):
-                feed_cold = max(feed_s, r["batch_MB"] / r["storage_MBps_cold"])
+                feed_cold = max(feed_s, batch_mb / r["storage_MBps_cold"])
                 exp_c = max(0.0, feed_cold - step_s)
                 r["projected_stall_pct_at_measured_storage"] = (
                     100.0 * exp_c / (exp_c + step_s))

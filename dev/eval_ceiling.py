@@ -102,7 +102,9 @@ def main():
     print(f"{'op':12s} {'mxu_ms':>8s} {'hbm_ms':>8s} {'ceil_ms':>8s}")
     stage_sums = {}
     for name, m, h, t in rows:
-        key = name.split(".")[0][:2] if name.startswith("s") else name
+        head = name.split(".")[0]
+        # bucket s1.x..s4.x by stage; keep full names (stem7x7, maxpool, …)
+        key = head[:2] if len(head) == 2 and head.startswith("s") else head
         stage_sums[key] = stage_sums.get(key, 0.0) + t
     for name, m, h, t in rows:
         print(f"{name:12s} {m:8.3f} {h:8.3f} {t:8.3f}")

@@ -23,8 +23,13 @@ import numpy as np
 
 
 def bench(fn, x, w, steps=30, trials=3):
+    # perturb an operand per iteration so the conv is loop-carried —
+    # otherwise XLA's while-loop LICM hoists fn(x, w) out and the loop
+    # times one conv + scalar adds (same discipline as tpu_fused_probe.py)
     f = jax.jit(lambda x, w: jax.lax.fori_loop(
-        0, steps, lambda i, acc: acc + fn(x, w).mean(), 0.0))
+        0, steps,
+        lambda i, acc: acc + fn(x, w + acc.astype(w.dtype) * 1e-30).mean(),
+        jnp.float32(0.0)))
     for t in range(trials):
         t0 = time.perf_counter()
         float(f(x, w))  # host readback barrier

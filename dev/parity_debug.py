@@ -59,8 +59,23 @@ def main():
         cfg, model, steps_per_epoch=len(epochs_data[0]))
     print(f"base lr {lr}")
 
-    tstep = make_train_step(model, CROP, donate=False, augment="gather")
+    tstep = make_train_step(
+        model, CROP, donate=False,
+        augment="none" if args.no_augment else "gather")
     estep = make_eval_step(model, CROP)
+
+    if args.no_augment:
+        # precompute deterministic center-crop+normalize views once; the
+        # 'none' train-step backend passes batch['images'] straight through
+        @jax.jit
+        def _center_views(images, mean, std):
+            return augment_batch(images, mean, std, jax.random.PRNGKey(0),
+                                 crop_size=CROP, train=False)
+
+        for batches in epochs_data:
+            for b in batches:
+                b["images"] = np.asarray(
+                    _center_views(b["images"], b["mean"], b["std"]))
 
     @jax.jit
     def eval_batchstats(st, batch):
@@ -91,11 +106,6 @@ def main():
         losses, lrs = [], []
         for b in batches:
             bb = {k: v for k, v in b.items() if k not in ("id_codes", "valid")}
-            if args.no_augment:
-                # eval-style center crop fed through the train step is not
-                # available; emulate by zero rotation via train=False in the
-                # augment key path — approximate: skip (handled below).
-                pass
             state, m = tstep(state, bb, key, flag)
             losses.append(float(m["loss"]))
             if "lr" in m:
@@ -125,9 +135,13 @@ def main():
     # ------------------------------------------------------------------
     @jax.jit
     def fresh_stats(st, batch):
-        views = augment_batch(batch["images"], batch["mean"], batch["std"],
-                              jax.random.PRNGKey(0), crop_size=CROP,
-                              train=False)
+        if args.no_augment:
+            # train batches already hold precomputed center-crop views
+            views = batch["images"]
+        else:
+            views = augment_batch(batch["images"], batch["mean"],
+                                  batch["std"], jax.random.PRNGKey(0),
+                                  crop_size=CROP, train=False)
         _, mut = model.apply(
             {"params": st.params, "batch_stats": st.batch_stats}, views,
             train=True, mutable=["batch_stats"],

@@ -65,6 +65,10 @@ def main():
         model=ModelConfig(backbone="resnet50", pretrained=False,
                           nb_classes=NB_CLASSES,
                           compute_dtype="float64" if args.f64 else "float32",
+                          # f64 params too: value_and_grad returns grads at
+                          # param dtype, and an f32 grad round-off would cap
+                          # the comparison at ~6e-8 relative
+                          param_dtype="float64" if args.f64 else "float32",
                           dropout=0.0),
         train=TrainConfig(bs_per_device=args.batch, nb_epochs=n_epochs),
         experiment_id="gradcheck",
@@ -106,12 +110,11 @@ def main():
         # torch at the SAME params (teacher-forced)
         jx_params = jax.tree_util.tree_map(np.asarray, state.params)
         jx_stats = jax.tree_util.tree_map(np.asarray, state.batch_stats)
-        tmodel = torch_model_from_flax(jx_params, jx_stats)
+        port_dtype = np.float64 if args.f64 else np.float32
+        tmodel = torch_model_from_flax(jx_params, jx_stats, dtype=port_dtype)
         for mod in tmodel.modules():
             if isinstance(mod, torch.nn.Dropout):
                 mod.p = 0.0
-        if args.f64:
-            tmodel.double()
         tmodel.train()
         x = torch.from_numpy(np.moveaxis(v, -1, 2).copy())
         if args.f64:
@@ -123,7 +126,7 @@ def main():
         # port the jax GRAD tree through the same param mapping: a mirror
         # whose "params" are the grads; its state_dict params == jax grads
         g_np = jax.tree_util.tree_map(np.asarray, jx_grads)
-        gmirror = torch_model_from_flax(g_np, jx_stats)
+        gmirror = torch_model_from_flax(g_np, jx_stats, dtype=port_dtype)
         gsd = gmirror.state_dict()
         worst = (0.0, "", 0.0, 0.0)
         gnorm_sq = err_sq = 0.0

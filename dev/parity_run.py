@@ -115,14 +115,18 @@ def record_epochs(p, n_epochs):
 # torch side
 # ---------------------------------------------------------------------------
 
-def torch_model_from_flax(params, batch_stats):
+def torch_model_from_flax(params, batch_stats, dtype=np.float32):
     import torch
 
     from rxtpu.models.pretrained import synthetic_resnet50_state_dict
     from test_torch_parity import _TorchTwoSitesNN, _copy_head_to_torch
 
-    t = lambda a: torch.from_numpy(np.asarray(a, np.float32).copy())  # noqa: E731
+    # dtype=np.float64 ports WITHOUT an f32 round-trip (the f64 gradcheck
+    # would otherwise be capped at the f32 cast floor ~6e-8 relative)
+    t = lambda a: torch.from_numpy(np.asarray(a, dtype).copy())  # noqa: E731
     m = _TorchTwoSitesNN(synthetic_resnet50_state_dict(), NB_CLASSES, dropout=0.3)
+    if dtype == np.float64:
+        m.double()  # BEFORE the copies: copy_ casts to the DEST dtype
     bb, bs = params["backbone"], batch_stats["backbone"]
 
     def set_conv(conv, p):  # flax HWIO -> torch OIHW
@@ -153,7 +157,7 @@ def torch_model_from_flax(params, batch_stats):
                     set_conv(block.downsample[0], bb[scope]["conv_proj"])
                     set_bn(block.downsample[1], bb[scope]["norm_proj"],
                            bs[scope]["norm_proj"])
-        _copy_head_to_torch(m, params, batch_stats)
+        _copy_head_to_torch(m, params, batch_stats, dtype=dtype)
     return m
 
 
@@ -483,9 +487,10 @@ def main():
         "- f32: losses agree to ~1e-5 at every visited point; weight-grad "
         "leaves agree to ~6e-4; occasional percent-level relative spikes "
         "appear ONLY in BN-bias leaves (cancellation-dominated sum(dy)).",
-        "- float64 (`--f64`, both frameworks): losses agree to ~1e-8 and "
-        "EVERY gradient leaf agrees to <=8e-8 over the trajectory — the "
-        "f32 spikes are round-off amplification, not semantics.",
+        "- float64 (`--f64`, both frameworks end-to-end: f64 params, "
+        "compute, port, and logits): losses agree to ~1e-14 and EVERY "
+        "gradient leaf agrees to <=6e-12 over the trajectory — the f32 "
+        "spikes are round-off amplification, not semantics.",
         "",
         "Conclusion: rxtpu's fused train step computes the same loss and "
         "the same gradient as the torch reference "

@@ -35,13 +35,16 @@ class MLPHead(nn.Module):
         dense = lambda f, name: nn.Dense(  # noqa: E731
             f, dtype=self.dtype, param_dtype=self.param_dtype, name=name,
         )
+        # logits at >= f32 for a stable softmax/CE; promote (not cast) so
+        # an f64 numerics probe keeps f64 logits (bf16/f32 compute -> f32)
+        logit_dt = jnp.promote_types(self.dtype, jnp.float32)
         x = x.astype(self.dtype)
         if self.folded:
             assert not train, "folded weights are eval-only"
             x = dense(self.size_features, "fc1")(x)
             x = nn.relu(x)
             x = dense(self.nb_classes, "fc2")(x)
-            return x.astype(jnp.float32)
+            return x.astype(logit_dt)
         norm = lambda name: TorchBatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=self.param_dtype, name=name,
@@ -53,7 +56,7 @@ class MLPHead(nn.Module):
         x = norm("bn2")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = dense(self.nb_classes, "fc2")(x)
-        return x.astype(jnp.float32)  # logits in f32 for a stable softmax/CE
+        return x.astype(logit_dt)
 
 
 class ArcFaceHead(nn.Module):
@@ -83,7 +86,7 @@ class ArcFaceHead(nn.Module):
         x = nn.relu(x)
         x = TorchBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, param_dtype=self.param_dtype, name="bn2")(x)
-        emb = x.astype(jnp.float32)
+        emb = x.astype(jnp.promote_types(self.dtype, jnp.float32))
 
         w = self.param(
             "weight",

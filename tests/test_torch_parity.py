@@ -156,10 +156,10 @@ class _TorchTwoSitesNN(torch.nn.Module):
         return self.mlp(torch.cat([f_imgs, f_neg, f_pos], dim=1))
 
 
-def _copy_head_to_torch(tmodel, params, batch_stats):
+def _copy_head_to_torch(tmodel, params, batch_stats, dtype=np.float32):
     """Give both frameworks identical (flax-initialized) head weights."""
     hp, hs = params["head"], batch_stats["head"]
-    t = lambda a: torch.from_numpy(np.asarray(a, np.float32))  # noqa: E731
+    t = lambda a: torch.from_numpy(np.asarray(a, dtype))  # noqa: E731
     with torch.no_grad():
         for torch_bn, name in ((tmodel.mlp[0], "bn1"), (tmodel.mlp[4], "bn2")):
             torch_bn.weight.copy_(t(hp[name]["scale"]))
