@@ -27,26 +27,19 @@ from typing import Dict, Sequence
 import numpy as np
 
 from rxtpu.data.decode import decode_files
-from rxtpu.data.records import MetadataIndex, WellRecord, image_path
+from rxtpu.data.records import (
+    MetadataIndex,
+    WellRecord,
+    all_records,
+    image_path,
+)
 
 
 def _key(experiment: str, plate: int, well: str, site: int) -> str:
     return f"{experiment}|{plate}|{well}|{site}"
 
 
-def _all_records(index: MetadataIndex):
-    records = list(index.records)
-    records += list(index.neg_controls.values())
-    for lst in index.pos_controls.values():
-        records += lst
-    # dedupe by well identity (controls can repeat across pos lists)
-    seen, out = set(), []
-    for r in records:
-        k = (r.experiment, r.plate, r.well)
-        if k not in seen:
-            seen.add(k)
-            out.append(r)
-    return out
+_all_records = all_records  # moved to records.py (shared with ByteStore)
 
 
 def write_pack(
@@ -70,11 +63,19 @@ def write_pack(
     records = _all_records(index)
     if src_size is None:
         r0 = records[0]
-        probe = cv2.imread(
-            image_path(img_dir, index.split, r0.experiment, r0.plate, r0.well, 1,
-                       channels[0], ext),
-            cv2.IMREAD_GRAYSCALE,
-        )
+        probe_path = image_path(img_dir, index.split, r0.experiment,
+                                r0.plate, r0.well, 1, channels[0], ext)
+        probe = cv2.imread(probe_path, cv2.IMREAD_GRAYSCALE)
+        if probe is None:
+            raise FileNotFoundError(
+                f"cannot read probe image {probe_path!r} to infer src_size; "
+                "pass src_size explicitly or fix the source tree"
+            )
+        if probe.shape[0] != probe.shape[1]:
+            raise ValueError(
+                f"pack format assumes square sources, got {probe.shape} "
+                f"from {probe_path!r}"
+            )
         src_size = probe.shape[0]
     c, h, w = len(channels), src_size, src_size
     plane_bytes = c * h * w

@@ -37,7 +37,12 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from rxtpu.data.decode import decode_batch, decode_files
-from rxtpu.data.records import MetadataIndex, WellRecord, image_path
+from rxtpu.data.records import (
+    MetadataIndex,
+    WellRecord,
+    all_records,
+    image_path,
+)
 from rxtpu.data.stats import stats_table
 
 
@@ -59,10 +64,7 @@ class ByteStore:
         self.channels = tuple(channels)
         self._cache: Dict[Tuple[str, int, str, int], List[bytes]] = {}
         if preload:
-            records = list(index.records)
-            records += list(index.neg_controls.values())
-            for lst in index.pos_controls.values():
-                records += lst
+            records = all_records(index)
             it = records
             if verbose:
                 from tqdm import tqdm

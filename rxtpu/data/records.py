@@ -128,6 +128,26 @@ class MetadataIndex:
         )
 
 
+def all_records(index: "MetadataIndex") -> List[WellRecord]:
+    """Every distinct well of an index: samples + neg/pos controls.
+
+    Deduped by well identity — controls repeat across positive-control
+    lists. The single source of truth for 'all records' (pack writing,
+    ByteStore preloading, stats passes).
+    """
+    records = list(index.records)
+    records += list(index.neg_controls.values())
+    for lst in index.pos_controls.values():
+        records += lst
+    seen, out = set(), []
+    for r in records:
+        k = (r.experiment, r.plate, r.well)
+        if k not in seen:
+            seen.add(k)
+            out.append(r)
+    return out
+
+
 def _records_from_df(df: pd.DataFrame) -> List[WellRecord]:
     has_sirna = "sirna" in df.columns
     out = []

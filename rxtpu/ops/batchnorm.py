@@ -108,6 +108,13 @@ class FusedBatchNorm(nn.Module):
     Variable tree matches flax exactly: params ``scale``/``bias`` and
     batch_stats ``mean``/``var`` — torch porting (rxtpu.models.pretrained)
     and existing checkpoints are unaffected.
+
+    NOT wired into production models: a measured dead end kept for fused-
+    block experiments (OPTIMIZATION.md "Fused one-pass BatchNorm"). The
+    backbones use ``rxtpu.models.norm.BatchNorm``, whose semantics differ
+    deliberately (torch-exact UNBIASED running var, momentum 0.9 default
+    vs flax's 0.99 here) — do not swap one for the other without porting
+    those semantics.
     """
 
     use_running_average: Optional[bool] = None
@@ -140,13 +147,18 @@ class FusedBatchNorm(nn.Module):
             y = (x.astype(jnp.float32) - ra_mean.value) * (r * scale) + bias
             return y.astype(out_dtype)
 
-        if self.axis_name is not None:
+        if self.axis_name is not None and not self.is_initializing():
             # cross-replica stats under shard_map/pmap: take the plain
             # autodiff path so gradients flow through the pmean'd stats.
             # (Under SPMD jit the fused path's reduce is already global.)
             mean, var = batch_stats_one_pass(x)
+            # combine via E[x] / E[x^2]: pmean of per-replica variances
+            # would drop the between-replica mean-spread term (equal-size
+            # shards assumed, as everywhere under pmean)
+            mean2 = var + jnp.square(mean)
             mean = lax.pmean(mean, self.axis_name)
-            var = lax.pmean(var, self.axis_name)
+            mean2 = lax.pmean(mean2, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             r = lax.rsqrt(var + self.epsilon)
             y = ((x.astype(jnp.float32) - mean) * (r * scale) + bias).astype(out_dtype)
         else:

@@ -548,6 +548,10 @@ def augment_batch_shear(
     from rxtpu.ops.warp import sample_affine_params
 
     b, g, c, h, w = images.shape
+    # crop offsets/slack are sampled from h for both axes and shear shifts
+    # are clipped in-kernel, so non-square input would crop the wrong
+    # window SILENTLY (warp.py:152 asserts the same)
+    assert h == w, f"augment paths assume square sources, got {h}x{w}"
     n = b * g
     p = n * c
     angle, vflip, hflip, crop = sample_affine_params(key, n, h, crop_size, train)

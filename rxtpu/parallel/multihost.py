@@ -15,6 +15,8 @@ both; the host-slicing logic is unit-testable without a pod.
 
 from __future__ import annotations
 
+import os
+import sys
 from typing import Dict, Iterator, List
 
 import numpy as np
@@ -40,6 +42,14 @@ def shard_records_for_host(
     deterministic, so no cross-host communication is needed to agree on
     who decodes what.
     """
+    if len(order) % global_batch:
+        # fail loud: silently truncating would drop up to global_batch-1
+        # samples (missing predictions on a pod). Pad the order to a
+        # batch multiple first (Pipeline pads its last batch this way).
+        raise ValueError(
+            f"epoch order length {len(order)} is not a multiple of "
+            f"global_batch {global_batch}; pad the tail batch first"
+        )
     n_batches = len(order) // global_batch
     lo, hi = host_shard_bounds(global_batch, num_hosts, host_id)
     return [
@@ -92,13 +102,29 @@ def initialize_distributed(
         # silently degrade the pod to independent single-process runs
         if "already initialized" not in str(e).lower():
             raise
-    except ValueError:
+    except ValueError as e:
         # `is not None` (not truthiness): an explicit process_id=0 is still
         # an explicit cluster arg and its config errors must surface
         if (coordinator_address is not None or num_processes is not None
                 or process_id is not None):
             raise  # explicit cluster args that don't parse are an error
-        pass  # auto-detect outside any cluster: single-process environment
+        # auto-detect failed with no explicit args. If cluster-manager env
+        # hints are present this IS a pod whose detection broke — raise
+        # rather than silently degrade every worker to an identical
+        # single-process run; otherwise warn and continue single-process.
+        cluster_hints = ("SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+                         "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",
+                         "MEGASCALE_COORDINATOR_ADDRESS")
+        found = [h for h in cluster_hints if os.environ.get(h)]
+        if found:
+            raise RuntimeError(
+                "jax.distributed auto-detection failed but cluster "
+                f"environment hints are present ({', '.join(found)}); "
+                "pass explicit coordinator_address/num_processes/"
+                "process_id rather than training each host independently"
+            ) from e
+        print(f"initialize_distributed: auto-detect found no cluster "
+              f"({e}); continuing single-process", file=sys.stderr)
     return jax.process_index()
 
 
