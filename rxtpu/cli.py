@@ -167,10 +167,20 @@ def resolve_config(args) -> "Config":
             if os.path.exists(cand):
                 cfg.data.stats_path = cand
                 break
+    if cfg.model.pretrained and not cfg.model.pretrained_path:
+        # the reference's pretrained=True always came with real torchvision
+        # weights (models.py:13); with nothing to load, the progressive-
+        # unfreeze schedule would train the head on frozen RANDOM features
+        # for freeze_head_only_epochs — disable it and train end-to-end
+        print("no --pretrained-path given: training end-to-end from random "
+              "init (pretrained freeze schedule disabled)", file=sys.stderr)
+        cfg.model.pretrained = False
     return cfg
 
 
 def _load_or_compute_stats(cfg):
+    import jax
+
     from rxtpu.data.stats import load_stats
 
     if os.path.exists(cfg.data.stats_path):
@@ -180,6 +190,18 @@ def _load_or_compute_stats(cfg):
 
     out = cfg.data.stats_path if cfg.data.stats_path.endswith(".json") \
         else "stats_experiments.json"
+    if jax.process_count() > 1:
+        # pod: compute once on process 0 (N hosts would duplicate the full
+        # dataset pass AND race-write the same artifact on shared storage),
+        # then barrier and have the others read the finished file
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0:
+            stats = run_stats(cfg.data.path_data, out, ext=cfg.data.image_ext)
+        multihost_utils.sync_global_devices("rxtpu_stats_artifact")
+        if jax.process_index() != 0:
+            stats = load_stats(out)
+        return stats
     return run_stats(cfg.data.path_data, out, ext=cfg.data.image_ext)
 
 
@@ -239,6 +261,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
 
     num_hosts, host_id = jax.process_count(), jax.process_index()
+
+    if num_hosts > 1 and args.experiment_id is None:
+        # the timestamp-default id (config.py __post_init__) can differ
+        # across processes (clock skew / second boundaries), silently
+        # diverging every derived path — checkpoints, submissions. Agree
+        # on process 0's id before any path is used.
+        from jax.experimental import multihost_utils
+
+        buf = np.zeros(64, np.uint8)
+        raw = cfg.experiment_id.encode()[:64]
+        buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+        agreed = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        cfg.experiment_id = bytes(agreed).rstrip(b"\x00").decode()
 
     n_devices = jax.device_count()
     local = cfg.local
@@ -396,8 +431,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                 "18 Kaggle experiments; assuming plate-group type 0 for all "
                 "(override with --experiment-types)"
             )
-    if not local:
-        assert len(experiment_types) == len(experiments)  # main.py:172-173
+    # main.py:172-173's assert, but validated up front for ALL modes
+    # (a local run with a wrong-length --experiment-types otherwise dies
+    # with a bare IndexError after the prediction work is done)
+    if len(experiment_types) != len(experiments):
+        raise SystemExit(
+            f"--experiment-types has {len(experiment_types)} entries but "
+            f"the test metadata has {len(experiments)} experiments"
+        )
 
     idx_test_all = load_metadata(df_test, df_controls_test, "test")
     src_size = _probe_src_size(cfg, idx_test_all, pack=args.pack)
@@ -413,6 +454,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         # one mmap for the whole split: PackStore is lazy, so unlike the
         # ByteStore branch there is no per-experiment RAM reason to rebuild
         pack_store_test = PackStore(os.path.join(args.pack, "test.rxpack"))
+
+    # ONE jitted predict step shared across all experiments: batch shapes
+    # are constant (Pipeline pads to global_bs), so building it inside the
+    # loop would retrace+recompile the identical full-size forward once
+    # per experiment (~18x compile wall-clock on the Kaggle test set)
+    if predict_model is not None:
+        def shared_step(_state, batch):
+            logits = predict_model(batch["images"])
+            return jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    else:
+        from rxtpu.infer.tta import make_tta_predict_step
+
+        shared_step = make_tta_predict_step(
+            model, args.test_crop, args.tta, args.tta_average
+        )
 
     pred_by_id = {}
     for i, experiment in enumerate(experiments):
@@ -431,22 +487,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             decoder_threads=decoder_threads, shuffle=False, drop_last=False,
             num_hosts=num_hosts, host_id=host_id,
         )
-        if predict_model is not None:
-            def dummy_step(_state, batch):
-                logits = predict_model(batch["images"])
-                return jax.nn.softmax(jnp.asarray(logits), axis=-1)
-
-            probs, ids = predict_dataset(
-                model, state, pipe, args.test_crop, model_fn=dummy_step
-            )
-        else:
-            # reference parity: TEST images are normalized but NOT cropped
-            # (dataloader.py:128-139); --test-crop N opts into faster
-            # cropped inference
-            probs, ids = predict_dataset(
-                model, state, pipe, args.test_crop, tta=args.tta, put=put,
-                tta_average=args.tta_average,
-            )
+        # reference parity: TEST images are normalized but NOT cropped
+        # (dataloader.py:128-139); --test-crop N opts into faster cropped
+        # inference. DummyClassifier (--debug local) feeds raw images.
+        probs, ids = predict_dataset(
+            model, state, pipe, args.test_crop, model_fn=shared_step,
+            put=None if predict_model is not None else put,
+        )
         # rows arrive pipeline-ordered == df order (shuffle=False)
         df_exp = df_test[df_test["experiment"] == experiment]
         assert list(df_exp["id_code"]) == ids
@@ -462,8 +509,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     # align by id_code, not position: test.csv rows need not be contiguous
     # by experiment
     preds = np.asarray([pred_by_id[i] for i in df_test["id_code"]])
-    path = write_submission(df_test, preds, cfg.experiment_id, args.out_dir)
-    print(f"wrote {path}")
+    if host_id == 0:
+        # predictions are replicated to every host; only one process may
+        # write the CSV (concurrent to_csv on shared storage interleaves)
+        path = write_submission(df_test, preds, cfg.experiment_id, args.out_dir)
+        print(f"wrote {path}")
     return 0
 
 

@@ -13,12 +13,10 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from rxtpu.data.pipeline import Pipeline, device_prefetch
-from rxtpu.ops import eval_batch_normalize
 from rxtpu.train.step import TrainState
 
 # named dihedral variants applied to NHWC views [B, G, H, W, C]
@@ -35,6 +33,21 @@ _TTA_VARIANTS: Dict[str, Callable[[jnp.ndarray], jnp.ndarray]] = {
 }
 
 
+def tta_transforms(tta: str) -> List[Callable[[jnp.ndarray], jnp.ndarray]]:
+    """Resolve a TTA mode name to its list of view transforms."""
+    if tta == "none":
+        names = ["identity"]
+    elif tta == "flips":
+        names = ["identity", "hflip", "vflip", "rot180"]
+    elif tta == "dihedral":
+        # the full 8-element group the train augmentation samples from
+        names = ["identity", "hflip", "vflip", "rot180", "rot90", "rot270",
+                 "transpose", "anti_transpose"]
+    else:
+        raise ValueError(f"unknown tta mode {tta!r}")
+    return [_TTA_VARIANTS[n] for n in names]
+
+
 def make_tta_predict_step(
     model, crop_size: Optional[int] = None, tta: str = "none",
     average: str = "probs"
@@ -45,37 +58,15 @@ def make_tta_predict_step(
     only, no crop — dataloader.py:128-139). ``average``: 'probs' averages
     softmax outputs across variants; 'logits' averages pre-softmax logits
     (BASELINE config 3's "flip/rotate TTA logit averaging") then
-    softmaxes once.
+    softmaxes once. Thin wrapper over the one predict-step implementation
+    (rxtpu.train.step.make_predict_step) with this module's variant
+    geometry plugged in.
     """
-    if tta == "none":
-        variants = ["identity"]
-    elif tta == "flips":
-        variants = ["identity", "hflip", "vflip", "rot180"]
-    elif tta == "dihedral":
-        # the full 8-element group the train augmentation samples from
-        variants = ["identity", "hflip", "vflip", "rot180", "rot90", "rot270",
-                    "transpose", "anti_transpose"]
-    else:
-        raise ValueError(f"unknown tta mode {tta!r}")
-    if average not in ("probs", "logits"):
-        raise ValueError(f"unknown tta average mode {average!r}")
-    from rxtpu.train.step import _make_eval_apply
+    from rxtpu.train.step import make_predict_step
 
-    apply_fn = _make_eval_apply(model)  # BN-folded when supported
-
-    def step_fn(state: TrainState, batch):
-        views = eval_batch_normalize(
-            batch["images"], batch["mean"], batch["std"], crop_size
-        )
-        acc = None
-        for name in variants:
-            logits = apply_fn(state, _TTA_VARIANTS[name](views))
-            term = jax.nn.softmax(logits, axis=-1) if average == "probs" else logits
-            acc = term if acc is None else acc + term
-        acc = acc / len(variants)
-        return acc if average == "probs" else jax.nn.softmax(acc, axis=-1)
-
-    return jax.jit(step_fn)
+    return make_predict_step(
+        model, crop_size, transforms=tta_transforms(tta), average=average
+    )
 
 
 def predict_dataset(

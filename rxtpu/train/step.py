@@ -17,7 +17,7 @@ Replaces the reference's pytorch-ignite engine iteration
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -250,7 +250,8 @@ def make_eval_step(model, crop_size: int, fold: bool = True,
 
 def make_predict_step(
     model, crop_size: Optional[int] = None, fold: bool = True,
-    fused_stem: bool = False
+    fused_stem: bool = False, transforms: Optional[Sequence[Callable]] = None,
+    average: str = "probs",
 ) -> Callable:
     """Test-time softmax probabilities (test.py:27-29): G=6 two-site TTA.
 
@@ -258,7 +259,17 @@ def make_predict_step(
     which normalizes WITHOUT cropping (dataloader.py:128-139 applies the
     crop only for train/val); pass an int to trade parity for ~2x faster
     cropped inference.
+
+    ``transforms`` (optional list of view->view fns, e.g. dihedral TTA
+    variants from rxtpu.infer.tta) averages over geometric variants:
+    ``average='probs'`` averages softmax outputs, ``'logits'`` averages
+    pre-softmax logits then softmaxes once (BASELINE config 3).
     """
+    if transforms and fused_stem:
+        raise ValueError("TTA transforms need materialized views; "
+                         "fused_stem=True is incompatible")
+    if average not in ("probs", "logits"):
+        raise ValueError(f"unknown tta average mode {average!r}")
     apply_fn = _make_eval_apply(model, fold)
     fused_apply = (
         _make_fused_stem_apply(model, crop_size) if fused_stem else None
@@ -266,12 +277,18 @@ def make_predict_step(
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         if fused_apply is not None:
-            logits = fused_apply(state, batch)
-        else:
-            views = eval_batch_normalize(
-                batch["images"], batch["mean"], batch["std"], crop_size
-            )
-            logits = apply_fn(state, views)
-        return jax.nn.softmax(logits, axis=-1)
+            return jax.nn.softmax(fused_apply(state, batch), axis=-1)
+        views = eval_batch_normalize(
+            batch["images"], batch["mean"], batch["std"], crop_size
+        )
+        ts = transforms or (lambda v: v,)
+        acc = None
+        for t in ts:
+            logits = apply_fn(state, t(views))
+            term = (jax.nn.softmax(logits, axis=-1)
+                    if average == "probs" else logits)
+            acc = term if acc is None else acc + term
+        acc = acc / len(ts)
+        return acc if average == "probs" else jax.nn.softmax(acc, axis=-1)
 
     return jax.jit(step_fn)
