@@ -33,12 +33,15 @@ def parse_id_code(id_code: str) -> Dict[str, str]:
 def celltype_summary(df: pd.DataFrame) -> pd.DataFrame:
     """Wells / experiments / sirna coverage per celltype."""
     df = df.assign(celltype=df["experiment"].map(get_celltype))
-    agg = {"id_code": "count", "experiment": "nunique", "plate": "nunique"}
+    # plate ids repeat 1..4 per experiment — count physical plates as
+    # distinct (experiment, plate) pairs, not distinct plate numbers
+    df = df.assign(phys_plate=df["experiment"] + "/" + df["plate"].astype(str))
+    agg = {"id_code": "count", "experiment": "nunique", "phys_plate": "nunique"}
     if "sirna" in df.columns:
         agg["sirna"] = "nunique"
     out = df.groupby("celltype").agg(agg)
     return out.rename(columns={"id_code": "wells", "experiment": "experiments",
-                               "plate": "plates", "sirna": "sirnas"})
+                               "phys_plate": "plates", "sirna": "sirnas"})
 
 
 def control_summary(df_controls: pd.DataFrame) -> pd.DataFrame:
@@ -48,15 +51,24 @@ def control_summary(df_controls: pd.DataFrame) -> pd.DataFrame:
 
 
 def check_control_invariants(df_controls: pd.DataFrame) -> Dict[str, bool]:
-    """The notebook's key facts: one neg control per plate, at well B02."""
+    """The notebook's key facts: one neg control per plate, at well B02.
+
+    Checked against the FULL set of (experiment, plate) pairs in the
+    controls table — grouping only the filtered control-type subset would
+    vacuously pass for a plate missing that control type entirely.
+    """
+    all_plates = set(map(tuple, df_controls[["experiment", "plate"]]
+                         .drop_duplicates().itertuples(index=False)))
     neg = df_controls[df_controls["well_type"] == "negative_control"]
     per_plate = neg.groupby(["experiment", "plate"])["well"].agg(list)
-    one_neg = bool((per_plate.map(len) >= 1).all())
-    neg_at_b02 = bool(per_plate.map(lambda ws: NEG_CONTROL_WELL in ws).all())
+    one_neg = set(per_plate.index) == all_plates and bool(
+        (per_plate.map(len) >= 1).all())
+    neg_at_b02 = one_neg and bool(
+        per_plate.map(lambda ws: NEG_CONTROL_WELL in ws).all())
     pos = df_controls[df_controls["well_type"] == "positive_control"]
-    has_pos = bool(
-        (pos.groupby(["experiment", "plate"])["well"].nunique() >= 1).all()
-    )
+    pos_counts = pos.groupby(["experiment", "plate"])["well"].nunique()
+    has_pos = set(pos_counts.index) == all_plates and bool(
+        (pos_counts >= 1).all())
     return {
         "every_plate_has_negative_control": one_neg,
         "negative_control_at_B02": neg_at_b02,

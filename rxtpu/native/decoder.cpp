@@ -55,6 +55,15 @@ int decode_one(const uint8_t* buf, size_t len, uint8_t* out, int out_h,
     jpeg_destroy_decompress(&cinfo);
     return -2;
   }
+  // reject wrong/oversized dimensions BEFORE start_decompress: a crafted
+  // header declaring e.g. 65500x65500 would otherwise drive full-width
+  // internal buffer allocation on every pool thread before the check.
+  // No scaling is configured, so header dims == output dims.
+  if (static_cast<int>(cinfo.image_height) != out_h ||
+      static_cast<int>(cinfo.image_width) != out_w) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;  // unexpected dimensions
+  }
   cinfo.out_color_space = JCS_GRAYSCALE;
   jpeg_start_decompress(&cinfo);
   if (static_cast<int>(cinfo.output_height) != out_h ||

@@ -31,6 +31,9 @@ def profile_step_loop(step_fn, batches: Iterator, logdir: Optional[str] = None,
                       max_steps: int = 10):
     """Run up to ``max_steps`` of ``step_fn(batch)`` under a trace; returns
     the StepTimer summary (step time + input-stall %)."""
+    import jax
+    import numpy as np
+
     from rxtpu.train.metrics import StepTimer
 
     timer = StepTimer()
@@ -43,5 +46,14 @@ def profile_step_loop(step_fn, batches: Iterator, logdir: Optional[str] = None,
             if batch is None:
                 break
             with timer.stepping():
-                step_fn(batch)
+                out = step_fn(batch)
+                # async dispatch returns immediately; without a barrier the
+                # stepping window records dispatch latency and the stall %
+                # is meaningless. Host readback of the smallest leaf — the
+                # only reliable barrier on relay-attached chips
+                # (block_until_ready can ack early, CLAUDE.md).
+                leaves = [l for l in jax.tree_util.tree_leaves(out)
+                          if hasattr(l, "dtype")]
+                if leaves:
+                    np.asarray(min(leaves, key=lambda l: getattr(l, "size", 1)))
     return timer.summary()
