@@ -26,3 +26,15 @@ def test_storage_cold_mbps(tmp_path):
     rate2 = bench._storage_cold_mbps(str(tmp_path), chunk=1 << 16,
                                      probe_mb=8, budget_mb=4)
     assert np.isfinite(rate2) and rate2 > 0
+
+
+def test_ram_backed_detection():
+    """tmpfs cache dirs must be flagged: fadvise can't evict RAM pages,
+    so the 'cold' probe there measures memory bandwidth, not a disk."""
+    bench = _load_bench()
+    # the repo checkout is on a real filesystem (not a ramdisk)
+    assert bench._ram_backed(os.path.dirname(__file__)) is False
+    if os.path.isdir("/dev/shm"):
+        assert bench._ram_backed("/dev/shm") is True
+    # unknown paths never raise
+    assert bench._ram_backed("/nonexistent/x") in (True, False)
