@@ -394,6 +394,77 @@ def test_torch_train_mode_loss_parity():
     np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=5e-3)
 
 
+def test_torch_f64_train_gradient_parity():
+    """Train-mode loss AND every gradient leaf agree at f64 precision.
+
+    The f32 train-mode tests need loose tolerances because deep BN
+    backprop chaotically amplifies round-off between equally-correct
+    implementations; in float64 end-to-end the two frameworks must agree
+    essentially exactly (dev/parity_gradcheck.py --f64 measures <=6e-12
+    over a real trajectory). This is the strongest semantic pin: batch
+    stats, the fast-variance formulation, CE, and every adjoint."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "dev"))
+    from parity_run import torch_model_from_flax
+
+    from rxtpu.train.step import cross_entropy
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        model = TwoSitesNN(backbone="resnet50", nb_classes=NB_CLASSES,
+                           dropout=0.0, dtype=jnp.float64,
+                           param_dtype=jnp.float64)
+        x64 = np.random.default_rng(5).normal(
+            0.0, 1.0, size=(B, G, 6, H, W)).astype(np.float64)
+        y = np.random.default_rng(6).integers(
+            0, NB_CLASSES, size=(B,)).astype(np.int64)
+        variables = model.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, G, H, W, 6), jnp.float64), train=False)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+
+        tmodel = torch_model_from_flax(
+            jax.tree_util.tree_map(np.asarray, params),
+            jax.tree_util.tree_map(np.asarray, batch_stats),
+            dtype=np.float64)
+        for mod in tmodel.modules():
+            if isinstance(mod, torch.nn.Dropout):
+                mod.p = 0.0
+        tmodel.train()
+        loss_t = torch.nn.CrossEntropyLoss()(
+            tmodel(torch.from_numpy(x64)), torch.from_numpy(y))
+        loss_t.backward()
+
+        def loss_fn(p):
+            logits, _ = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                jnp.asarray(np.transpose(x64, (0, 1, 3, 4, 2))), train=True,
+                rngs={"dropout": jax.random.PRNGKey(0)},
+                mutable=["batch_stats"])
+            return cross_entropy(logits, jnp.asarray(y.astype(np.int32)))
+
+        loss_j, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                                   rtol=1e-12)
+
+        gmirror = torch_model_from_flax(
+            jax.tree_util.tree_map(np.asarray, grads),
+            jax.tree_util.tree_map(np.asarray, batch_stats),
+            dtype=np.float64)
+        gsd = gmirror.state_dict()
+        for name, p in tmodel.named_parameters():
+            if p.grad is None:
+                continue
+            a = gsd[name].detach().numpy()
+            t = p.grad.detach().numpy()
+            rel = np.linalg.norm(a - t) / max(np.linalg.norm(t), 1e-300)
+            assert rel <= 1e-9, f"{name}: grad rel diff {rel:.2e}"
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_torch_sgd_step_parity():
     """One SGD(momentum=0.9, nesterov, wd=3e-5) step lands on the same
     parameters in both frameworks (main.py:89-93), using rxtpu's real
