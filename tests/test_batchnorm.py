@@ -65,7 +65,10 @@ def test_syncbn_variance_includes_mean_spread():
     local[1] += 10.0
     x = jnp.asarray(local)
 
-    bn = FusedBatchNorm(use_running_average=False, axis_name="batch")
+    # momentum explicit: the test pins variance COMBINATION, not the
+    # class's default momentum
+    bn = FusedBatchNorm(use_running_average=False, axis_name="batch",
+                        momentum=0.99)
     variables = bn.init(jax.random.PRNGKey(0), x[0])
 
     def apply(xs):

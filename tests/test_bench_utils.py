@@ -32,9 +32,9 @@ def test_ram_backed_detection():
     """tmpfs cache dirs must be flagged: fadvise can't evict RAM pages,
     so the 'cold' probe there measures memory bandwidth, not a disk."""
     bench = _load_bench()
-    # the repo checkout is on a real filesystem (not a ramdisk)
-    assert bench._ram_backed(os.path.dirname(__file__)) is False
+    # "/" is the root mount — never tmpfs (containers use overlay/ext4)
+    assert bench._ram_backed("/") is False
     if os.path.isdir("/dev/shm"):
         assert bench._ram_backed("/dev/shm") is True
-    # unknown paths never raise
-    assert bench._ram_backed("/nonexistent/x") in (True, False)
+    # nonexistent paths resolve under the root mount and never raise
+    assert bench._ram_backed("/nonexistent/x") is False

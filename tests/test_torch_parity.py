@@ -281,6 +281,7 @@ def test_batchnorm_f64_input_keeps_f32_stats():
     and checkpoints keep round-tripping against f32-initialized trees."""
     from rxtpu.models.norm import BatchNorm
 
+    prev_x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
         bn = BatchNorm(use_running_average=False, momentum=0.9,
@@ -295,7 +296,7 @@ def test_batchnorm_f64_input_keeps_f32_stats():
         assert mutated["batch_stats"]["mean"].dtype == jnp.float32
         assert mutated["batch_stats"]["var"].dtype == jnp.float32
     finally:
-        jax.config.update("jax_enable_x64", False)
+        jax.config.update("jax_enable_x64", prev_x64)
 
 
 def test_torch_forward_parity_eval():
@@ -406,11 +407,15 @@ def test_torch_f64_train_gradient_parity():
     import os
     import sys
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "dev"))
+    pytest.importorskip("cv2")  # dev/parity_run imports it at module scope
+    dev_dir = os.path.join(os.path.dirname(__file__), "..", "dev")
+    if dev_dir not in sys.path:
+        sys.path.insert(0, dev_dir)
     from parity_run import torch_model_from_flax
 
     from rxtpu.train.step import cross_entropy
 
+    prev_x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
         model = TwoSitesNN(backbone="resnet50", nb_classes=NB_CLASSES,
@@ -446,8 +451,10 @@ def test_torch_f64_train_gradient_parity():
             return cross_entropy(logits, jnp.asarray(y.astype(np.int32)))
 
         loss_j, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        # ~100x headroom over the measured ~1e-12 noise floor: reduction
+        # order differs across BLAS/SIMD configs even at f64
         np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
-                                   rtol=1e-12)
+                                   rtol=1e-10)
 
         gmirror = torch_model_from_flax(
             jax.tree_util.tree_map(np.asarray, grads),
@@ -462,7 +469,7 @@ def test_torch_f64_train_gradient_parity():
             rel = np.linalg.norm(a - t) / max(np.linalg.norm(t), 1e-300)
             assert rel <= 1e-9, f"{name}: grad rel diff {rel:.2e}"
     finally:
-        jax.config.update("jax_enable_x64", False)
+        jax.config.update("jax_enable_x64", prev_x64)
 
 
 def test_torch_sgd_step_parity():
