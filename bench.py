@@ -417,7 +417,35 @@ def main():
                     help="skip the G=6 full-size test-inference measurement")
     ap.add_argument("--predict-steps", type=int, default=12)
     ap.add_argument("--predict-batch", type=int, default=16)
+    ap.add_argument("--init-timeout", type=int, default=900,
+                    help="seconds to allow backend init before emitting an "
+                         "error JSON line (the relay, when down, HANGS "
+                         "jax.devices() instead of raising)")
     args = ap.parse_args()
+
+    # Relay-outage watchdog: a half-down relay hangs backend init forever
+    # with no exception (blocked inside C, so signal.alarm's Python
+    # handler would never run) — a daemon THREAD keeps running and emits
+    # an error artifact instead of leaving the driver with nothing.
+    import threading
+
+    init_done = threading.Event()
+
+    def _watchdog():
+        if not init_done.wait(args.init_timeout):
+            print(json.dumps({
+                "metric": "train_images_per_sec_per_chip", "value": None,
+                "unit": "512^2x6ch views/s/chip", "vs_baseline": None,
+                "detail": {"error": "TPU backend init timed out "
+                                    f"({args.init_timeout}s) — relay outage"},
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+
+    jax.devices()
+    init_done.set()
 
     bench_batch = args.batch
     try:
