@@ -3,6 +3,7 @@ from rxtpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     param_shardings,
     shard_batch,
+    shard_batch_window,
     sharded_prefetch,
 )
 from rxtpu.parallel.dp import place_state, make_put  # noqa: F401

@@ -85,6 +85,29 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
     return out
 
 
+def shard_batch_window(batches: Sequence[Dict[str, np.ndarray]],
+                       mesh: Mesh) -> Dict[str, Any]:
+    """Stack K host batches along a leading scan axis and device-put them.
+
+    Output leaves are [K, B, ...] with the BATCH dim sharded over 'data'
+    (the scan axis is replicated) — the input shape expected by
+    rxtpu.train.step.make_scanned_eval_step / make_scanned_predict_step.
+    Non-array metadata (e.g. id_codes) is collected into lists.
+    """
+    assert batches, "empty batch window"
+    shardings = batch_sharding(mesh)
+    out: Dict[str, Any] = {}
+    for k in batches[0]:
+        vs = [b[k] for b in batches]
+        if isinstance(vs[0], np.ndarray) and k in shardings:
+            spec = shardings[k].spec
+            s = NamedSharding(mesh, P(None, *spec))
+            out[k] = jax.device_put(np.stack(vs), s)
+        else:
+            out[k] = vs
+    return out
+
+
 def sharded_prefetch(host_iter, mesh: Mesh):
     """Double-buffered sharded device feed (the DP version of device_prefetch)."""
     from rxtpu.data.pipeline import double_buffer

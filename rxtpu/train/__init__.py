@@ -3,6 +3,8 @@ from rxtpu.train.step import (  # noqa: F401
     make_train_step,
     make_eval_step,
     make_predict_step,
+    make_scanned_eval_step,
+    make_scanned_predict_step,
     cross_entropy,
 )
 from rxtpu.train.optim import (  # noqa: F401

@@ -213,13 +213,9 @@ def _make_fused_stem_apply(model, crop_size) -> Callable:
     return apply_fn
 
 
-def make_eval_step(model, crop_size: int, fold: bool = True,
-                   fused_stem: bool = False) -> Callable:
-    """Center-crop + normalize + forward; returns per-batch (loss_sum, correct, n).
-
-    Mirrors the ignite evaluator metrics (train.py:39-42) as exact sums so
-    epoch metrics are independent of batch partitioning.
-    """
+def _make_eval_body(model, crop_size: int, fold: bool = True,
+                    fused_stem: bool = False) -> Callable:
+    """Unjitted eval step body (shared by the per-batch and scanned steps)."""
     apply_fn = _make_eval_apply(model, fold)
     fused_apply = (
         _make_fused_stem_apply(model, crop_size) if fused_stem else None
@@ -245,15 +241,52 @@ def make_eval_step(model, crop_size: int, fold: bool = True,
             "count": valid.sum(),
         }
 
+    return step_fn
+
+
+def make_eval_step(model, crop_size: int, fold: bool = True,
+                   fused_stem: bool = False) -> Callable:
+    """Center-crop + normalize + forward; returns per-batch (loss_sum, correct, n).
+
+    Mirrors the ignite evaluator metrics (train.py:39-42) as exact sums so
+    epoch metrics are independent of batch partitioning.
+    """
+    return jax.jit(_make_eval_body(model, crop_size, fold, fused_stem))
+
+
+def make_scanned_eval_step(model, crop_size: int, fold: bool = True,
+                           fused_stem: bool = False) -> Callable:
+    """Eval over a WINDOW of batches in one compiled program.
+
+    Takes batches stacked along a leading axis ([K, B, ...] per leaf) and
+    ``lax.scan``s the eval body over them, returning the summed metric
+    dict. One dispatch serves K batches — per-launch host/runtime overhead
+    (which does not overlap execution on relay-attached chips) is paid
+    once per window instead of once per batch. Numerically identical to
+    summing K ``make_eval_step`` calls (metrics are exact sums,
+    train.py:39-42 parity).
+    """
+    body = _make_eval_body(model, crop_size, fold, fused_stem)
+
+    def step_fn(state: TrainState, batches: Dict[str, jnp.ndarray]):
+        def f(carry, batch):
+            m = body(state, batch)
+            return carry, m
+
+        _, ms = jax.lax.scan(f, None, batches)
+        return jax.tree_util.tree_map(lambda x: x.sum(0), ms)
+
     return jax.jit(step_fn)
 
 
-def make_predict_step(
+def _make_predict_body(
     model, crop_size: Optional[int] = None, fold: bool = True,
     fused_stem: bool = False, transforms: Optional[Sequence[Callable]] = None,
     average: str = "probs",
 ) -> Callable:
-    """Test-time softmax probabilities (test.py:27-29): G=6 two-site TTA.
+    """Unjitted predict step body (shared by per-batch and scanned steps).
+
+    Test-time softmax probabilities (test.py:27-29): G=6 two-site TTA.
 
     ``crop_size=None`` (default) matches the reference TEST transform,
     which normalizes WITHOUT cropping (dataloader.py:128-139 applies the
@@ -290,5 +323,43 @@ def make_predict_step(
             acc = term if acc is None else acc + term
         acc = acc / len(ts)
         return acc if average == "probs" else jax.nn.softmax(acc, axis=-1)
+
+    return step_fn
+
+
+def make_predict_step(
+    model, crop_size: Optional[int] = None, fold: bool = True,
+    fused_stem: bool = False, transforms: Optional[Sequence[Callable]] = None,
+    average: str = "probs",
+) -> Callable:
+    """Jitted per-batch predict step; see _make_predict_body for semantics."""
+    return jax.jit(_make_predict_body(
+        model, crop_size, fold, fused_stem, transforms, average
+    ))
+
+
+def make_scanned_predict_step(
+    model, crop_size: Optional[int] = None, fold: bool = True,
+    fused_stem: bool = False, transforms: Optional[Sequence[Callable]] = None,
+    average: str = "probs",
+) -> Callable:
+    """Predict over a WINDOW of batches in one compiled program.
+
+    Takes batches stacked along a leading axis ([K, B, ...] per leaf) and
+    returns stacked probabilities [K, B, nb_classes]. One dispatch serves
+    K batches, amortizing per-launch runtime overhead; each window slice
+    is numerically identical to a ``make_predict_step`` call on that
+    batch.
+    """
+    body = _make_predict_body(
+        model, crop_size, fold, fused_stem, transforms, average
+    )
+
+    def step_fn(state: TrainState, batches: Dict[str, jnp.ndarray]):
+        def f(carry, batch):
+            return carry, body(state, batch)
+
+        _, probs = jax.lax.scan(f, None, batches)
+        return probs
 
     return jax.jit(step_fn)

@@ -220,3 +220,32 @@ def test_resume_replaces_state_on_mesh(eight_cpu_devices, tmp_path):
     # restored params carry mesh sharding (replicated over 8 devices)
     leaf = jax.tree_util.tree_leaves(res.state.params)[0]
     assert len(leaf.addressable_shards) == 8
+
+
+def test_scanned_predict_on_mesh(eight_cpu_devices):
+    """shard_batch_window + make_scanned_predict_step == per-batch predict
+    on the 8-device mesh (scan axis replicated, batch dim over 'data')."""
+    from rxtpu.parallel import shard_batch_window
+    from rxtpu.train import make_predict_step, make_scanned_predict_step
+
+    cfg = _cfg()
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    mesh = make_mesh(n_devices=8)
+    state = place_state(state, mesh)
+    rng = np.random.default_rng(7)
+    batches = [{
+        "images": rng.integers(0, 256, size=(8, 6, 6, SRC, SRC), dtype=np.uint8),
+        "mean": rng.uniform(0.2, 0.6, (8, 6)).astype(np.float32),
+        "std": rng.uniform(0.1, 0.4, (8, 6)).astype(np.float32),
+    } for _ in range(2)]
+
+    with mesh:
+        window = shard_batch_window(batches, mesh)
+        assert window["images"].shape == (2, 8, 6, 6, SRC, SRC)
+        got = np.asarray(make_scanned_predict_step(model, CROP)(state, window))
+        pstep = make_predict_step(model, CROP)
+        want = np.stack([
+            np.asarray(pstep(state, shard_batch(b, mesh))) for b in batches
+        ])
+    np.testing.assert_allclose(got, want, atol=2e-6)

@@ -213,3 +213,59 @@ def test_resume_from_last_checkpoint(tmp_path):
     # resumed past epoch 1 with nb_epochs=1 -> no training ran, state preserved
     assert int(res.state.step) == 3
     assert res.best_accuracy == 0.25
+
+
+def test_scanned_eval_matches_per_batch_sums(tmp_path):
+    """make_scanned_eval_step == sum of make_eval_step over the window."""
+    from rxtpu.train import make_scanned_eval_step
+
+    cfg = _tiny_cfg(tmp_path)
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    batches = [_fake_batch(bs=4, seed=s) for s in range(3)]
+    for b in batches:
+        b["valid"] = np.ones(4, np.float32)
+    batches[2]["valid"][2:] = 0.0
+
+    ev = make_eval_step(model, CROP)
+    want = {"loss_sum": 0.0, "correct": 0.0, "count": 0.0}
+    for b in batches:
+        m = ev(state, {k: jnp.asarray(v) for k, v in b.items()})
+        want = {k: want[k] + float(m[k]) for k in want}
+
+    stacked = {
+        k: jnp.asarray(np.stack([b[k] for b in batches])) for k in batches[0]
+    }
+    got = make_scanned_eval_step(model, CROP)(state, stacked)
+    for k in want:
+        np.testing.assert_allclose(float(got[k]), want[k], rtol=2e-5)
+
+
+def test_scanned_predict_matches_per_batch(tmp_path):
+    """Each window slice of make_scanned_predict_step == make_predict_step."""
+    from rxtpu.train import make_predict_step, make_scanned_predict_step
+
+    cfg = _tiny_cfg(tmp_path)
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    rng = np.random.default_rng(3)
+    batches = []
+    for _ in range(2):  # G=6 two-site test batches, full-size (no crop)
+        batches.append({
+            "images": rng.integers(0, 256, size=(2, 6, 6, SRC, SRC),
+                                   dtype=np.uint8),
+            "mean": rng.uniform(0.2, 0.6, (2, 6)).astype(np.float32),
+            "std": rng.uniform(0.1, 0.4, (2, 6)).astype(np.float32),
+        })
+
+    pstep = make_predict_step(model, crop_size=None)
+    want = np.stack([
+        np.asarray(pstep(state, {k: jnp.asarray(v) for k, v in b.items()}))
+        for b in batches
+    ])
+    stacked = {
+        k: jnp.asarray(np.stack([b[k] for b in batches])) for k in batches[0]
+    }
+    got = np.asarray(make_scanned_predict_step(model, crop_size=None)(state, stacked))
+    assert got.shape == want.shape == (2, 2, cfg.model.nb_classes)
+    np.testing.assert_allclose(got, want, atol=2e-6)
