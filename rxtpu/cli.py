@@ -66,6 +66,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "images; cropping is ~2x faster at 364)")
     p.add_argument("--tta", default="none", choices=["none", "flips", "dihedral"])
     p.add_argument("--tta-average", default="probs", choices=["probs", "logits"])
+    p.add_argument("--predict-scan-window", type=int, default=1,
+                   help="run K test batches per device dispatch (lax.scan "
+                        "window) — same numbers, fewer launches; >1 is "
+                        "single-process only")
     p.add_argument("--calibrate", action="store_true",
                    help="neg-control embedding calibration in the head (config 4)")
     p.add_argument("--fuse-blocks", default="auto",
@@ -459,10 +463,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     # are constant (Pipeline pads to global_bs), so building it inside the
     # loop would retrace+recompile the identical full-size forward once
     # per experiment (~18x compile wall-clock on the Kaggle test set)
+    scan_window = max(1, args.predict_scan_window)
+    use_scan = (scan_window > 1 and predict_model is None and num_hosts == 1)
+    shared_step = shared_scan_step = None
     if predict_model is not None:
         def shared_step(_state, batch):
             logits = predict_model(batch["images"])
             return jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    elif use_scan:
+        from rxtpu.infer.tta import make_scanned_tta_predict_step
+
+        shared_scan_step = make_scanned_tta_predict_step(
+            model, args.test_crop, args.tta, args.tta_average
+        )
     else:
         from rxtpu.infer.tta import make_tta_predict_step
 
@@ -490,10 +503,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         # reference parity: TEST images are normalized but NOT cropped
         # (dataloader.py:128-139); --test-crop N opts into faster cropped
         # inference. DummyClassifier (--debug local) feeds raw images.
-        probs, ids = predict_dataset(
-            model, state, pipe, args.test_crop, model_fn=shared_step,
-            put=None if predict_model is not None else put,
-        )
+        if use_scan:
+            probs, ids = predict_dataset(
+                model, state, pipe, args.test_crop,
+                scan_window=scan_window, mesh=mesh,
+                scan_step=shared_scan_step,
+            )
+        else:
+            probs, ids = predict_dataset(
+                model, state, pipe, args.test_crop, model_fn=shared_step,
+                put=None if predict_model is not None else put,
+            )
         # rows arrive pipeline-ordered == df order (shuffle=False)
         df_exp = df_test[df_test["experiment"] == experiment]
         assert list(df_exp["id_code"]) == ids

@@ -7,5 +7,9 @@ from rxtpu.infer.plate_leak import (  # noqa: F401
     rescale,
 )
 from rxtpu.infer.fold import fold_for_inference  # noqa: F401
-from rxtpu.infer.tta import make_tta_predict_step, predict_dataset  # noqa: F401
+from rxtpu.infer.tta import (  # noqa: F401
+    make_scanned_tta_predict_step,
+    make_tta_predict_step,
+    predict_dataset,
+)
 from rxtpu.infer.submit import write_submission  # noqa: F401

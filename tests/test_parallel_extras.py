@@ -238,3 +238,47 @@ def test_tta_logit_averaging(tmp_path):
     assert not np.allclose(pl_, pp)  # geometric vs arithmetic averaging differ
     with pytest.raises(ValueError):
         make_tta_predict_step(model, 24, "flips", "median")
+
+
+def test_predict_dataset_scan_window(synthetic_root, eight_cpu_devices):
+    """predict_dataset(scan_window=K) == per-batch drain, incl. the padded
+    tail window (3 batches, K=2) and id ordering, on the 8-device mesh."""
+    import os
+
+    from rxtpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from rxtpu.data.pipeline import ByteStore, Pipeline
+    from rxtpu.data.records import load_metadata, read_metadata_csvs
+    from rxtpu.infer import predict_dataset
+    from rxtpu.parallel import make_mesh, place_state
+    from rxtpu.train import build_model, create_train_state
+
+    root, _ = synthetic_root
+    df, dfc = read_metadata_csvs(os.path.join(root, "metadata"), "test")
+    idx = load_metadata(df, dfc, "test")
+    store = ByteStore(idx, root, preload=True)
+    exps = sorted({r.experiment for r in idx.records})
+    stats = {e: {"mean": np.full(6, 0.5), "std": np.full(6, 0.25)} for e in exps}
+
+    def mkpipe():
+        return Pipeline(idx, store, stats, 4, "test", src_size=64, seed=7,
+                        shuffle=False, drop_last=False)
+
+    n_batches = len(list(mkpipe().epoch(0)))
+    assert n_batches == 3, n_batches  # odd count: the K=2 tail is exercised
+
+    cfg = Config(
+        data=DataConfig(path_data="x", crop_size=32, src_size=64),
+        model=ModelConfig(backbone="resnet18", nb_classes=8, pretrained=False,
+                          size_features=8, compute_dtype="float32"),
+        train=TrainConfig(), experiment_id="scanw",
+    )
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    mesh = make_mesh(n_devices=4)  # bs=4 must divide the 'data' axis
+    with mesh:
+        state = place_state(state, mesh)
+        want_p, want_ids = predict_dataset(model, state, mkpipe(), 32)
+        got_p, got_ids = predict_dataset(model, state, mkpipe(), 32,
+                                         scan_window=2, mesh=mesh)
+    assert got_ids == want_ids
+    np.testing.assert_allclose(got_p, want_p, atol=2e-6)
