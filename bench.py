@@ -25,6 +25,10 @@ The JSON line tells the whole story:
   (PCIe H2D), derived from the measured steady-state assembly rate; the
   on-rig ``input_stall_pct`` is dominated by the dev tunnel's ~10-30 MB/s
   host->device relay (reported as ``h2d_MBps``).
+- ``detail.storage_MBps_required[_zlib]`` + ``projected_stall_pct_at_
+  measured_storage[_zlib]``: disk-bandwidth demand of a zero-stall feed
+  for the raw and zlib-compressed rxpack variants (the compressed pack
+  divides the demand by ``pack_zlib_ratio`` at measured inflate cost).
 
 - ``detail.eval_ips_per_chip``: the inference-class rate (center-crop +
   normalize + forward, no bwd) — the workload class where the 5000
@@ -294,8 +298,19 @@ def _bench_dataset(src: int, min_records: int):
         df, dfc = read_metadata_csvs(os.path.join(cache, "metadata"), "train")
         idx = load_metadata(df, dfc, "train")
         write_pack(idx, cache, os.path.join(cache, "pack"), src_size=src)
+        write_pack(idx, cache, os.path.join(cache, "pack_z"), src_size=src,
+                   compress="zlib")
         with open(marker, "w") as f:
             f.write("ok")
+    # older cache dirs predate the compressed pack; top it up in place
+    if not os.path.exists(os.path.join(cache, "pack_z", "train.rxpack")):
+        from rxtpu.data.pack import write_pack
+        from rxtpu.data.records import load_metadata, read_metadata_csvs
+
+        df, dfc = read_metadata_csvs(os.path.join(cache, "metadata"), "train")
+        idx = load_metadata(df, dfc, "train")
+        write_pack(idx, cache, os.path.join(cache, "pack_z"), src_size=src,
+                   compress="zlib")
     return cache
 
 
@@ -428,6 +443,35 @@ def run_pipeline_bench(backbone: str, batch: int, steps: int, crop: int, src: in
     # before the measured leg starts its own producer
     host_it.close()
 
+    # compressed-pack leg: same batches via the zlib rxpack (inflate in the
+    # native pool) — assembly cost + size ratio, for the storage-bandwidth
+    # projection below. Ratio on synthetic noise-textured cells lands lower
+    # than real fluorescence microscopy; both are reported, not assumed.
+    raw_path = os.path.join(root, "pack", "train.rxpack")
+    z_path = os.path.join(root, "pack_z", "train.rxpack")
+    pack_zlib_ratio = os.path.getsize(raw_path) / max(os.path.getsize(z_path), 1)
+    store_z = PackStore(z_path)
+    pipe_z = Pipeline(idx, store_z, stats, global_batch, "train",
+                      src_size=src, seed=0, prefetch_depth=3)
+
+    def batches_z():
+        epoch = 0
+        while True:
+            for b in pipe_z.epoch(epoch):
+                b.pop("id_codes", None)
+                b.pop("valid", None)
+                yield b
+            epoch += 1
+
+    z_it = batches_z()
+    for _ in range(4):
+        next(z_it)  # warm (page cache + pool threads)
+    t0 = time.perf_counter()
+    for _ in range(n_probe):
+        next(z_it)
+    assemble_z_s = (time.perf_counter() - t0) / n_probe
+    z_it.close()
+
     storage_ram = _ram_backed(root)
     storage_mbps = _storage_cold_mbps(
         root, chunk=hb["images"].nbytes // max(global_batch, 1))
@@ -456,6 +500,8 @@ def run_pipeline_bench(backbone: str, batch: int, steps: int, crop: int, src: in
         "input_stall_pct": 100.0 * timer.stall_fraction,
         "h2d_MBps": h2d_mbps,
         "host_assemble_ms": 1000 * assemble_s,
+        "host_assemble_zlib_ms": 1000 * assemble_z_s,
+        "pack_zlib_ratio": pack_zlib_ratio,
         "storage_MBps_cold": storage_mbps,
         # tmpfs/ramfs cache => the "cold" probe measured RAM, not a disk;
         # the stall-at-measured-storage projection is suppressed then
@@ -568,6 +614,21 @@ def main():
                 exp_c = max(0.0, feed_cold - step_s)
                 r["projected_stall_pct_at_measured_storage"] = (
                     100.0 * exp_c / (exp_c + step_s))
+            # compressed-pack alternative: the zlib rxpack divides the
+            # storage demand by its measured ratio at the cost of the
+            # measured inflate-side assembly time (native pool; scales
+            # with host cores, this box has 1)
+            if r.get("pack_zlib_ratio"):
+                batch_z_mb = batch_mb / r["pack_zlib_ratio"]
+                assemble_z_s = bscale * r["host_assemble_zlib_ms"] / 1000.0
+                feed_z = max(assemble_z_s, batch_z_mb * 1e6 / 8e9)
+                r["storage_MBps_required_zlib"] = batch_z_mb / step_s
+                if (r.get("storage_MBps_cold")
+                        and not r.get("storage_cold_ram_backed")):
+                    feed_cz = max(feed_z, batch_z_mb / r["storage_MBps_cold"])
+                    exp_cz = max(0.0, feed_cz - step_s)
+                    r["projected_stall_pct_at_measured_storage_zlib"] = (
+                        100.0 * exp_cz / (exp_cz + step_s))
         except Exception:
             import traceback
 

@@ -62,7 +62,7 @@ def _build_native(lib_path: str) -> None:
     # must never dlopen a half-written .so
     tmp = f"{lib_path}.build{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-           "-o", tmp, "-ljpeg", "-lpthread"]
+           "-o", tmp, "-ljpeg", "-lz", "-lpthread"]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, lib_path)
 
@@ -99,6 +99,11 @@ def get_native_lib(rebuild: bool = False) -> Optional[ctypes.CDLL]:
         lib.rxtpu_decode_files.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.rxtpu_inflate_batch.restype = ctypes.c_int
+        lib.rxtpu_inflate_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
         ]
         _lib = lib
         return _lib
@@ -180,6 +185,60 @@ def _decode_batch_native(lib, buffers: Sequence[bytes], out: np.ndarray,
         arr.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
         n, out.ctypes.data, out.shape[1], out.shape[2], nthreads,
     )
+
+
+def inflate_batch(
+    data: np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    item_bytes: int,
+    nthreads: int = 0,
+    use_native: bool = True,
+    out: Optional[np.ndarray] = None,
+    strict: bool = False,
+) -> np.ndarray:
+    """Decompress N zlib streams out of ONE contiguous uint8 buffer.
+
+    ``data`` is the whole pack (typically a memmap — slices are read
+    lazily by the pool threads, so the OS readahead overlaps inflate);
+    ``offsets``/``lengths`` (int64 [N]) locate each stream. Every stream
+    must inflate to exactly ``item_bytes`` (fixed-size raw views, the
+    compressed-rxpack contract). Failures zero-fill, or raise with
+    ``strict=True`` (same fail-loud invariant as ``decode_batch``).
+    Returns uint8 [N, item_bytes].
+    """
+    n = len(offsets)
+    if out is None:
+        out = np.empty((n, item_bytes), dtype=np.uint8)
+    if n == 0:
+        return out
+    data = np.ascontiguousarray(data)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    lib = get_native_lib() if use_native else None
+    if lib is not None:
+        failures = lib.rxtpu_inflate_batch(
+            data.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
+            n, out.ctypes.data, item_bytes, nthreads,
+        )
+    else:
+        import zlib
+
+        failures = 0
+        for i in range(n):
+            try:
+                raw = zlib.decompress(
+                    data[offsets[i]:offsets[i] + lengths[i]].tobytes())
+            except zlib.error:
+                raw = b""
+            if len(raw) != item_bytes:
+                out[i] = 0
+                failures += 1
+            else:
+                out[i] = np.frombuffer(raw, dtype=np.uint8)
+    if strict and failures:
+        raise ValueError(f"{failures}/{n} records failed to decompress")
+    return out
 
 
 def decode_files(

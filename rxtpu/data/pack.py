@@ -16,6 +16,16 @@ Format: one pack per split —
 Readers memory-map the pack; batch assembly is pure memcpy. ``PackStore``
 is a drop-in for ``ByteStore`` in ``rxtpu.data.pipeline`` (the pipeline
 detects the decoded fast path via ``get_decoded``).
+
+Compressed variant (``write_pack(compress="zlib")``): views are stored as
+variable-length zlib streams, located by ``"offsets"``/``"lengths"``
+arrays in the JSON (indexed by ordinal) with ``"compress": "zlib"``. A
+raw 512^2 pack demands ~1.2 GB/s of storage bandwidth per v5e chip at the
+measured step rate (bench `storage_MBps_required`); fluorescent cell
+planes deflate ~2-4x, so storage-bandwidth-bound hosts can trade
+pool-thread CPU (``rxtpu_inflate_batch``, decoder.cpp) for that factor.
+``PackStore`` auto-detects the variant from the JSON — the Pipeline needs
+no flag (it batch-inflates via ``get_decoded_batch``).
 """
 
 from __future__ import annotations
@@ -52,12 +62,17 @@ def write_pack(
     decoder_threads: int = 0,
     batch_wells: int = 64,
     verbose: bool = False,
+    compress: str = None,
+    compress_level: int = 6,
 ) -> str:
     """Decode every (well, site) of the index once and write the pack.
 
     Returns the pack path. Decoding runs through the native thread-pool
-    loader in batches of ``batch_wells`` wells.
+    loader in batches of ``batch_wells`` wells. ``compress="zlib"``
+    writes the variable-length compressed variant (see module docstring).
     """
+    if compress not in (None, "zlib"):
+        raise ValueError(f"unknown pack compression {compress!r}")
     import cv2
 
     records = _all_records(index)
@@ -88,6 +103,8 @@ def write_pack(
         from tqdm import tqdm
 
         it = tqdm(it, desc=f"Packing {index.split}")
+    offsets, lengths = [], []
+    pos = 0
     with open(pack_path, "wb") as f:
         ordinal = 0
         for start in it:
@@ -109,10 +126,23 @@ def write_pack(
             planes = planes.reshape(len(keys), c, h, w)
             for k, view in zip(keys, planes):
                 entries[k] = ordinal
-                f.write(view.tobytes())
+                blob = view.tobytes()
+                if compress == "zlib":
+                    import zlib
+
+                    blob = zlib.compress(blob, compress_level)
+                    offsets.append(pos)
+                    lengths.append(len(blob))
+                    pos += len(blob)
+                f.write(blob)
                 ordinal += 1
+    meta = {"h": h, "w": w, "channels": c, "entries": entries}
+    if compress == "zlib":
+        meta["compress"] = "zlib"
+        meta["offsets"] = offsets
+        meta["lengths"] = lengths
     with open(pack_path + ".json", "w") as f:
-        json.dump({"h": h, "w": w, "channels": c, "entries": entries}, f)
+        json.dump(meta, f)
     return pack_path
 
 
@@ -121,6 +151,9 @@ class PackStore:
 
     ``get_decoded(record, site)`` returns a zero-copy uint8 view
     [C, H, W]; batch assembly is then a straight memcpy (no decode).
+    For a compressed pack (auto-detected from the JSON) views inflate
+    through the native thread pool — ``get_decoded_batch`` serves a whole
+    batch in one C call (the Pipeline prefers it when present).
     """
 
     def __init__(self, pack_path: str):
@@ -132,11 +165,42 @@ class PackStore:
         self._entries = meta["entries"]
         self._mm = np.memmap(pack_path, dtype=np.uint8, mode="r")
         self._view_elems = self.n_channels * self.h * self.w
+        self.compress = meta.get("compress")
+        if self.compress:
+            self._offsets = np.asarray(meta["offsets"], dtype=np.int64)
+            self._lengths = np.asarray(meta["lengths"], dtype=np.int64)
         self.preloaded = True  # decoded fast path; pipeline never re-decodes
 
+    def _ordinal(self, r: WellRecord, site: int) -> int:
+        return self._entries[_key(r.experiment, r.plate, r.well, site)]
+
     def get_decoded(self, r: WellRecord, site: int) -> np.ndarray:
-        ordinal = self._entries[_key(r.experiment, r.plate, r.well, site)]
+        shape = (self.n_channels, self.h, self.w)
+        ordinal = self._ordinal(r, site)
+        if self.compress:
+            return self._inflate([ordinal], nthreads=1).reshape(shape)
         off = ordinal * self._view_elems
-        return self._mm[off : off + self._view_elems].reshape(
-            self.n_channels, self.h, self.w
+        return self._mm[off : off + self._view_elems].reshape(shape)
+
+    def get_decoded_batch(self, keys, nthreads: int = 0) -> np.ndarray:
+        """uint8 [len(keys), C, H, W] for (record, site) pairs, one C call."""
+        n = len(keys)
+        shape = (n, self.n_channels, self.h, self.w)
+        ordinals = [self._ordinal(r, site) for r, site in keys]
+        if self.compress:
+            return self._inflate(ordinals, nthreads=nthreads).reshape(shape)
+        out = np.empty((n, self._view_elems), np.uint8)
+        for i, o in enumerate(ordinals):
+            off = o * self._view_elems
+            out[i] = self._mm[off : off + self._view_elems]
+        return out.reshape(shape)
+
+    def _inflate(self, ordinals, nthreads: int) -> np.ndarray:
+        from rxtpu.data.decode import inflate_batch
+
+        # strict: a corrupt pack record must fail loudly (same invariant
+        # as Pipeline._make_batch / write_pack)
+        return inflate_batch(
+            self._mm, self._offsets[ordinals], self._lengths[ordinals],
+            self._view_elems, nthreads=nthreads, strict=True,
         )

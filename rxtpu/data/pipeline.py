@@ -241,10 +241,18 @@ class Pipeline:
             exp_ids[k] = self._exp_index[r.experiment]
             valid[k] = 1.0 if i < n_real else 0.0
         if decoded:
-            images = np.empty((bs, g, c, s, s), np.uint8)
-            for i, keys in enumerate(view_lists):
-                for gi, (rec, site) in enumerate(keys):
-                    images[i, gi] = self.store.get_decoded(rec, site)
+            if hasattr(self.store, "get_decoded_batch"):
+                # one call for the whole batch: compressed packs inflate
+                # in the native thread pool; raw packs memcpy
+                flat = [k for keys in view_lists for k in keys]
+                images = self.store.get_decoded_batch(
+                    flat, nthreads=self.decoder_threads
+                ).reshape(bs, g, c, s, s)
+            else:
+                images = np.empty((bs, g, c, s, s), np.uint8)
+                for i, keys in enumerate(view_lists):
+                    for gi, (rec, site) in enumerate(keys):
+                        images[i, gi] = self.store.get_decoded(rec, site)
         else:
             # strict: corrupt/missing files must fail loudly (the reference
             # crashes on them; silent all-zero planes would poison training)

@@ -8,7 +8,7 @@
 // batch grayscale JPEG *encoder* used by the PNG->JPEG conversion tool
 // (reference png_to_jpeg.py).
 //
-// Build: g++ -O3 -shared -fPIC decoder.cpp -o librxtpu_decode.so -ljpeg
+// Build: g++ -O3 -shared -fPIC decoder.cpp -o librxtpu_decode.so -ljpeg -lz
 // (done automatically by rxtpu/data/decode.py at first import).
 
 #include <atomic>
@@ -21,6 +21,7 @@
 #include <vector>
 
 #include <jpeglib.h>
+#include <zlib.h>
 
 namespace {
 
@@ -214,6 +215,26 @@ int rxtpu_encode_batch(const uint8_t* in, int n, int h, int w, int quality,
       out_lengths[i] = 0;
     }
     if (mem) free(mem);
+    return ok;
+  });
+}
+
+// Inflate n zlib streams (concatenated in `data` at `offsets`/`lengths`)
+// into out[n * item_bytes]. Used by the compressed rxpack reader: storage-
+// bandwidth-bound hosts trade pool-thread CPU for a ~2-4x smaller pack.
+// Every stream must decompress to EXACTLY item_bytes (fixed-size raw
+// views); short/long/corrupt streams count as failures and zero-fill.
+int rxtpu_inflate_batch(const uint8_t* data, const int64_t* offsets,
+                        const int64_t* lengths, int n, uint8_t* out,
+                        int64_t item_bytes, int nthreads) {
+  const size_t item = static_cast<size_t>(item_bytes);
+  return run_pool(n, nthreads, [&](int i, std::vector<uint8_t>&) {
+    uint8_t* dst = out + item * i;
+    uLongf dst_len = static_cast<uLongf>(item);
+    int rc = uncompress(dst, &dst_len, data + offsets[i],
+                        static_cast<uLong>(lengths[i]));
+    bool ok = (rc == Z_OK && dst_len == item);
+    if (!ok) std::memset(dst, 0, item);
     return ok;
   });
 }

@@ -187,7 +187,11 @@ def test_cli_with_rxpack(e2e_root, monkeypatch):
     monkeypatch.chdir(root)
     from rxtpu.tools import main as tools_main
 
-    tools_main(["pack", "--data", "data", "--out", "packs"])
+    # zlib-compressed pack: the CLI auto-detects the variant from the
+    # pack JSON (no flag), so the whole flow also covers the batch
+    # inflate path through the native pool
+    tools_main(["pack", "--data", "data", "--out", "packs",
+                "--compress", "zlib"])
     rc = cli_main([
         "--debug", "--experiment_id", "e2epack", "--nb-classes", "4",
         "--epochs", "1", "--crop-size", "32", "--experiment-types", "0",

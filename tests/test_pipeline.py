@@ -236,3 +236,51 @@ def test_rxpack_roundtrip_and_pipeline_equivalence(synthetic_root, tmp_path):
     t = next(iter(Pipeline(idx, store, stats, batch_size=2, mode="test",
                            src_size=SRC).epoch(0)))
     assert t["images"].shape == (2, 6, 6, SRC, SRC)
+
+
+def test_rxpack_zlib_compressed(synthetic_root, tmp_path):
+    """Compressed pack == raw pack bit-for-bit through every read path."""
+    import zlib
+
+    from rxtpu.data.decode import inflate_batch
+    from rxtpu.data.pack import PackStore, write_pack
+
+    root, _ = synthetic_root
+    df, dfc = read_metadata_csvs(os.path.join(root, "metadata"), "train")
+    idx = load_metadata(df, dfc, "train")
+    raw = write_pack(idx, root, str(tmp_path / "raw"))
+    comp = write_pack(idx, root, str(tmp_path / "z"), compress="zlib")
+    assert os.path.getsize(comp) < os.path.getsize(raw)  # it actually deflates
+    rs, cs = PackStore(raw), PackStore(comp)
+    assert cs.compress == "zlib"
+    # per-view and batch-hook equality, native inflate vs raw memmap
+    r = idx.records[0]
+    np.testing.assert_array_equal(cs.get_decoded(r, 1), rs.get_decoded(r, 1))
+    keys = [(rec, site) for rec in idx.records[:3] for site in (1, 2)]
+    np.testing.assert_array_equal(cs.get_decoded_batch(keys),
+                                  rs.get_decoded_batch(keys))
+    # python-zlib fallback == native pool
+    got = inflate_batch(cs._mm, cs._offsets[:4], cs._lengths[:4],
+                        cs._view_elems, use_native=False)
+    want = inflate_batch(cs._mm, cs._offsets[:4], cs._lengths[:4],
+                        cs._view_elems, use_native=True)
+    np.testing.assert_array_equal(got, want)
+    # full pipeline batch equality (same seed -> same view draws)
+    stats = _stats_for(idx)
+    kw = dict(batch_size=4, mode="train", src_size=SRC, seed=33)
+    a = next(iter(Pipeline(idx, rs, stats, **kw).epoch(1)))
+    b = next(iter(Pipeline(idx, cs, stats, **kw).epoch(1)))
+    np.testing.assert_array_equal(a["images"], b["images"])
+    np.testing.assert_array_equal(a["labels"], b["labels"])
+    # fail-loud: a corrupt record must raise, not feed zero planes
+    mm = np.array(cs._mm)  # writable copy
+    mm[cs._offsets[0]:cs._offsets[0] + 8] = 0xFF
+    with pytest.raises(ValueError, match="failed to decompress"):
+        inflate_batch(mm, cs._offsets[:1], cs._lengths[:1],
+                      cs._view_elems, strict=True)
+    # ...and a stream inflating to the WRONG size is a failure, not a
+    # silent short write (catches index/format drift)
+    blob = np.frombuffer(zlib.compress(b"x" * 10), np.uint8)
+    with pytest.raises(ValueError, match="failed to decompress"):
+        inflate_batch(blob, np.zeros(1, np.int64),
+                      np.asarray([len(blob)], np.int64), 99, strict=True)
