@@ -1,0 +1,74 @@
+"""A/B: W8A8 quantized predict step vs the BN-folded bf16 one, on-chip.
+
+Bench eval shape (bs32, G=3, 512^2 src -> 364^2 crop = 96 views/step),
+same discipline as bench.py's eval leg (resident batch, warmup, host
+readback barrier). Goal: does int8 move the eval leg past its bf16
+composition ceiling (4034 views/s) toward the 5000 north star
+(dev/int8_probe.py measured the primitives at 1.68x matmul / 1.26x conv)?
+
+Also cross-checks accuracy on the same random weights: top-1 agreement
+between the two steps on the benchmark batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--crop", type=int, default=364)
+    ap.add_argument("--src", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--g", type=int, default=3)
+    args = ap.parse_args()
+
+    import sys
+
+    sys.path.insert(0, ".")
+    import jax
+
+    import bench
+    from rxtpu.infer import calibrate, make_quantized_predict_step
+    from rxtpu.parallel import shard_batch
+    from rxtpu.train.step import make_predict_step
+
+    bench.G = args.g
+    mesh, state, _, n_dev, model = bench._build(
+        "resnet50", args.batch, args.crop, args.src)
+    global_batch = args.batch * n_dev
+    hbatch = bench._make_synthetic_batch(global_batch, args.src)
+    dbatch = shard_batch(hbatch, mesh)
+    views = global_batch * args.g
+
+    qstats = calibrate(model, state, [dbatch], args.crop)
+
+    def run(label, fn):
+        p = None
+        for _ in range(3):
+            p = fn()
+        float(p[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            p = fn()
+        float(p[0, 0])
+        dt = (time.perf_counter() - t0) / args.steps
+        print(f"{label:24s} {1000 * dt:7.2f} ms/step  "
+              f"{views / dt:7.0f} views/s/chip")
+        return np.asarray(p), dt
+
+    fstep = make_predict_step(model, args.crop)
+    qstep = make_quantized_predict_step(model, args.crop)
+    pf, dt_f = run("folded bf16", lambda: fstep(state, dbatch))
+    pq, dt_q = run("quantized int8", lambda: qstep(state, qstats, dbatch))
+    agree = (pf.argmax(-1) == pq.argmax(-1)).mean()
+    print(f"speedup {dt_f / dt_q:.2f}x   top-1 agreement {agree:.3f}   "
+          f"max|dp| {np.abs(pf - pq).max():.4f}")
+
+
+if __name__ == "__main__":
+    main()

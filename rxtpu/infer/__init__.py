@@ -7,6 +7,12 @@ from rxtpu.infer.plate_leak import (  # noqa: F401
     rescale,
 )
 from rxtpu.infer.fold import fold_for_inference  # noqa: F401
+from rxtpu.infer.quant import (  # noqa: F401
+    calibrate,
+    make_quantized_predict_step,
+    quantizable,
+    quantize_variables,
+)
 from rxtpu.infer.tta import (  # noqa: F401
     make_scanned_tta_predict_step,
     make_tta_predict_step,

@@ -1,0 +1,153 @@
+"""Post-training W8A8 quantization for the inference path.
+
+Workflow (all opt-in via ``--quantize int8``; reference inference is
+``cell_classifier/test.py:23-32``, numerics intentionally differ —
+accuracy is pinned by tests instead of bit-parity):
+
+1. ``calibrate(model, state, batches)``: run the BN-folded f32/bf16
+   forward with ``quant_observe=True`` over a few batches; every conv
+   records its input absmax into the ``qstats`` collection (max-reduced
+   across batches). Unlabeled data suffices — test batches work.
+2. ``quantize_variables(folded_vars, qstats)``: symmetric per-out-channel
+   int8 weights (``w_scale``), per-tensor activation scales
+   (``in_scale = absmax/127``); jit-traceable, so the predict step folds
+   AND quantizes from the live train state on the fly.
+3. ``make_quantized_predict_step(model, ...)``: jitted
+   ``step(state, qstats, batch) -> probs``. ``qstats`` rides as a traced
+   argument so ONE compiled step serves every per-experiment model (the
+   CLI's 18-experiment loop must not recompile, cli.py:458-466).
+
+Why: the bf16 eval forward is AT its composition ceiling
+(OPTIMIZATION.md); int8 moves the ceiling — 1.68x MXU rate and half the
+HBM bytes on this v5e (dev/int8_probe.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rxtpu.infer.fold import fold_variables, foldable
+
+
+def quantizable(model) -> bool:
+    """int8 inference builds on BN folding: resnet backbone + mlp head."""
+    return foldable(model)
+
+
+def calibrate(
+    model,
+    state,
+    batches: Iterable[Dict[str, Any]],
+    crop_size: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Per-conv input absmax tree (numpy) from a few (unlabeled) batches.
+
+    ``batches`` are pipeline batches (uint8 images + per-experiment
+    mean/std); each runs through the same normalize + folded forward the
+    predict step uses, with every conv input's range recorded.
+    """
+    from rxtpu.train.step import eval_batch_normalize
+
+    if not quantizable(model):
+        raise ValueError(
+            "int8 inference supports resnet backbones with the mlp head, "
+            f"got {model.backbone!r}/{model.head!r}")
+    obs_model = model.clone(folded=True, quant_observe=True,
+                            fuse_blocks=False, stem_input=False)
+
+    @jax.jit
+    def observe(state, batch):
+        views = eval_batch_normalize(
+            batch["images"], batch["mean"], batch["std"], crop_size)
+        fvars = fold_variables(state.params, state.batch_stats)
+        _, aux = obs_model.apply(fvars, views, train=False,
+                                 mutable=["qstats"])
+        return aux["qstats"]
+
+    stats = None
+    n = 0
+    for batch in batches:
+        batch = {k: batch[k] for k in ("images", "mean", "std")}
+        s = jax.device_get(observe(state, batch))
+        stats = s if stats is None else jax.tree_util.tree_map(
+            np.maximum, stats, s)
+        n += 1
+    if n == 0:
+        raise ValueError("calibration needs at least one batch")
+    return stats
+
+
+def _quantize_backbone(p: Dict[str, Any], s: Dict[str, Any]):
+    out: Dict[str, Any] = {}
+    for k, v in p.items():
+        if isinstance(v, dict) and "kernel" in v and v["kernel"].ndim == 4:
+            kf = v["kernel"].astype(jnp.float32)
+            w_scale = jnp.maximum(
+                jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0, 1e-12)
+            out[k] = {
+                "kernel_q": jnp.clip(
+                    jnp.round(kf / w_scale), -127, 127).astype(jnp.int8),
+                "w_scale": w_scale,
+                "bias": v["bias"].astype(jnp.float32),
+                "in_scale": jnp.maximum(
+                    jnp.asarray(s[k]["in_absmax"], jnp.float32).reshape(())
+                    / 127.0, 1e-12),
+            }
+        elif isinstance(v, dict):
+            out[k] = _quantize_backbone(v, s.get(k, {}))
+        else:
+            out[k] = v
+    return out
+
+
+def quantize_variables(folded_vars: Dict[str, Any],
+                       qstats: Dict[str, Any]) -> Dict[str, Any]:
+    """Folded weight tree + calibration stats -> the tree a
+    ``quantized=True`` model consumes (int8 backbone convs; the folded
+    mlp head passes through in bf16 — it is <0.2% of the forward FLOPs).
+    jit-traceable (round/clip/scale only)."""
+    params = folded_vars["params"]
+    return {"params": {
+        "backbone": _quantize_backbone(
+            params["backbone"], qstats["backbone"]),
+        "head": params["head"],
+    }}
+
+
+def make_quantized_predict_step(
+    model, crop_size: Optional[int] = None,
+    transforms=None, average: str = "probs",
+) -> Callable:
+    """Jitted ``step(state, qstats, batch) -> probs [B, nb_classes]``.
+
+    Same TTA/average semantics as ``make_predict_step``; the forward runs
+    the W8A8 backbone. ``qstats`` is a traced argument: one compile
+    serves every experiment's model.
+    """
+    from rxtpu.train.step import _make_predict_body
+
+    if not quantizable(model):
+        raise ValueError(
+            "int8 inference supports resnet backbones with the mlp head, "
+            f"got {model.backbone!r}/{model.head!r}")
+    qmodel = model.clone(folded=True, quantized=True, fuse_blocks=False,
+                         stem_input=False)
+
+    def apply_fn(state_and_stats, views):
+        state, qstats = state_and_stats
+        fvars = fold_variables(state.params, state.batch_stats)
+        qvars = quantize_variables(fvars, qstats)
+        return qmodel.apply(qvars, views, train=False)
+
+    body = _make_predict_body(model, crop_size, transforms=transforms,
+                              average=average, apply_fn=apply_fn)
+
+    @jax.jit
+    def step_fn(state, qstats, batch):
+        return body((state, qstats), batch)
+
+    return step_fn

@@ -42,13 +42,16 @@ class ResNetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
+        # conv names are explicit (== what auto-naming produced) so the
+        # quantized/observed conv classes keep identical parameter paths
         # explicit (1,1) padding == torch Conv2d(padding=1); XLA 'SAME'
         # would pad (0,1) at stride 2, shifting the grid one pixel vs torch
         y = self.conv(self.filters, (3, 3), self.strides,
-                      padding=[(1, 1), (1, 1)])(x)
+                      padding=[(1, 1), (1, 1)], name="Conv_0")(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)])(y)
+        y = self.conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)],
+                      name="Conv_1")(y)
         y = self.norm(scale_init=nn.initializers.zeros)(y)
         if residual.shape != y.shape:
             residual = self.conv(self.filters, (1, 1), self.strides, name="conv_proj")(residual)
@@ -67,16 +70,18 @@ class BottleneckBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (1, 1))(x)
+        # conv names are explicit (== what auto-naming produced) so the
+        # quantized/observed conv classes keep identical parameter paths
+        y = self.conv(self.filters, (1, 1), name="Conv_0")(x)
         y = self.norm()(y)
         y = nn.relu(y)
         # explicit (1,1) padding == torch Conv2d(padding=1); XLA 'SAME'
         # would pad (0,1) at stride 2, shifting the grid one pixel vs torch
         y = self.conv(self.filters, (3, 3), self.strides,
-                      padding=[(1, 1), (1, 1)])(y)
+                      padding=[(1, 1), (1, 1)], name="Conv_1")(y)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters * 4, (1, 1))(y)
+        y = self.conv(self.filters * 4, (1, 1), name="Conv_2")(y)
         y = self.norm(scale_init=nn.initializers.zeros)(y)
         if residual.shape != y.shape:
             residual = self.conv(self.filters * 4, (1, 1), self.strides, name="conv_proj")(residual)
@@ -109,12 +114,28 @@ class ResNet(nn.Module):
     # stem ops here. The conv_init/bn_init params still exist in the tree
     # (flax ignores unconsumed variables at apply time).
     stem_input: bool = False
+    # W8A8 inference variants (rxtpu.models.quant / rxtpu.infer.quant),
+    # both folded-only: `quantized` consumes the int8 weight tree;
+    # `quant_observe` runs the folded f32 forward while recording per-conv
+    # input ranges into the mutable 'qstats' collection (calibration).
+    quantized: bool = False
+    quant_observe: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert not (self.folded and train), "folded weights are eval-only"
+        if self.quantized or self.quant_observe:
+            assert self.folded, "quantization builds on BN-folded weights"
+        if self.quantized:
+            from rxtpu.models.quant import QuantConv
+            conv_cls = QuantConv
+        elif self.quant_observe:
+            from rxtpu.models.quant import ObservedConv
+            conv_cls = ObservedConv
+        else:
+            conv_cls = nn.Conv
         conv = functools.partial(
-            nn.Conv,
+            conv_cls,
             use_bias=self.folded,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -247,5 +268,7 @@ def make_backbone(arch: str, **kw):
             raise ValueError("densenet121 does not support BN folding")
         if kw.pop("stem_input", False):  # fused stem is ResNet-only
             raise ValueError("densenet121 does not support the fused stem")
+        if kw.pop("quantized", False) or kw.pop("quant_observe", False):
+            raise ValueError("densenet121 does not support int8 inference")
         return densenet121(**kw)
     raise ValueError(f"unknown backbone {arch!r}")

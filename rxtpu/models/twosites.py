@@ -37,6 +37,8 @@ class TwoSitesNN(nn.Module):
     fuse_blocks: bool = False  # Pallas fused bottlenecks in train mode
     folded: bool = False       # BN-folded inference weights (rxtpu.infer.fold)
     stem_input: bool = False   # x is the fused-stem output (rxtpu.ops.fused_stem)
+    quantized: bool = False       # W8A8 int8 backbone (rxtpu.infer.quant)
+    quant_observe: bool = False   # calibration pass recording conv in-ranges
 
     @nn.compact
     def __call__(self, x, train: bool = False, labels=None):
@@ -51,6 +53,8 @@ class TwoSitesNN(nn.Module):
             fuse_blocks=self.fuse_blocks,
             folded=self.folded,
             stem_input=self.stem_input,
+            quantized=self.quantized,
+            quant_observe=self.quant_observe,
             name="backbone",
         )(x, train=train)                               # [B*G, F]
         f = feats.shape[-1]

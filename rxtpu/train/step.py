@@ -282,7 +282,7 @@ def make_scanned_eval_step(model, crop_size: int, fold: bool = True,
 def _make_predict_body(
     model, crop_size: Optional[int] = None, fold: bool = True,
     fused_stem: bool = False, transforms: Optional[Sequence[Callable]] = None,
-    average: str = "probs",
+    average: str = "probs", apply_fn: Optional[Callable] = None,
 ) -> Callable:
     """Unjitted predict step body (shared by per-batch and scanned steps).
 
@@ -303,7 +303,8 @@ def _make_predict_body(
                          "fused_stem=True is incompatible")
     if average not in ("probs", "logits"):
         raise ValueError(f"unknown tta average mode {average!r}")
-    apply_fn = _make_eval_apply(model, fold)
+    if apply_fn is None:
+        apply_fn = _make_eval_apply(model, fold)
     fused_apply = (
         _make_fused_stem_apply(model, crop_size) if fused_stem else None
     )

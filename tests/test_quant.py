@@ -1,0 +1,130 @@
+"""W8A8 post-training quantization (rxtpu.models.quant / rxtpu.infer.quant).
+
+The int8 inference path intentionally changes numerics vs the reference
+forward (cell_classifier/test.py:23-32) — these tests pin (a) the exact
+quantization semantics, and (b) that accuracy survives: top-1 agreement
+with the f32 folded forward plus tight prob deltas.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rxtpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from rxtpu.infer import (
+    calibrate,
+    make_quantized_predict_step,
+    quantizable,
+    quantize_variables,
+)
+from rxtpu.infer.fold import fold_variables
+from rxtpu.train import build_model, create_train_state
+from rxtpu.train.step import make_predict_step
+
+
+def _cfg(backbone="resnet18", head="mlp", nb_classes=7):
+    return Config(
+        data=DataConfig(path_data="x", crop_size=24, src_size=32),
+        model=ModelConfig(backbone=backbone, nb_classes=nb_classes,
+                          pretrained=False, size_features=16,
+                          compute_dtype="float32", head=head),
+        train=TrainConfig(), experiment_id="q",
+    )
+
+
+def _batch(rng, n=4):
+    return {
+        "images": jnp.asarray(rng.integers(0, 256, (n, 6, 6, 32, 32),
+                                           np.uint8)),
+        "mean": jnp.full((n, 6), 0.4), "std": jnp.full((n, 6), 0.2),
+    }
+
+
+def test_quantconv_math():
+    """QuantConv == hand-computed symmetric W8A8 semantics."""
+    from rxtpu.models.quant import QuantConv
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 5, 5, 3)), jnp.float32)
+    kq = rng.integers(-127, 128, (3, 3, 3, 4), dtype=np.int8)
+    w_scale = np.abs(rng.standard_normal(4)).astype(np.float32) + 0.1
+    bias = rng.standard_normal(4).astype(np.float32)
+    in_scale = np.float32(0.05)
+    params = {"params": {"kernel_q": jnp.asarray(kq),
+                         "w_scale": jnp.asarray(w_scale),
+                         "bias": jnp.asarray(bias),
+                         "in_scale": jnp.asarray(in_scale)}}
+    mod = QuantConv(features=4, kernel_size=(3, 3), strides=(1, 1),
+                    padding=[(1, 1), (1, 1)], dtype=jnp.float32)
+    got = np.asarray(mod.apply(params, x))
+
+    xq = np.clip(np.round(np.asarray(x) / in_scale), -127, 127)
+    acc = jax.lax.conv_general_dilated(  # f32 conv of small ints is exact
+        jnp.asarray(xq, jnp.float32), jnp.asarray(kq, jnp.float32),
+        (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    want = np.asarray(acc) * (w_scale * in_scale) + bias
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_matches_f32_forward():
+    """Top-1 agreement + small prob deltas vs the folded f32 forward,
+    and the quantized weight tree has the declared structure/dtypes."""
+    cfg = _cfg()
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    rng = np.random.default_rng(0)
+    qstats = calibrate(model, state, [_batch(rng), _batch(rng)], 24)
+    assert min(float(x) for x in jax.tree_util.tree_leaves(qstats)) > 0
+
+    qvars = quantize_variables(
+        fold_variables(state.params, state.batch_stats), qstats)
+    conv0 = qvars["params"]["backbone"]["conv_init"]
+    assert conv0["kernel_q"].dtype == jnp.int8
+    assert conv0["w_scale"].shape == (64,)
+    assert conv0["in_scale"].shape == ()
+    # head passes through folded (bf16/f32), not quantized
+    assert "kernel" in qvars["params"]["head"]["fc1"]
+
+    step = make_quantized_predict_step(model, 24)
+    pq = np.asarray(step(state, qstats, _batch(rng)))
+    pf = np.asarray(make_predict_step(model, 24)(state, _batch(rng)))
+    np.testing.assert_allclose(pq.sum(-1), 1.0, rtol=1e-5)
+    # random-init nets amplify quant noise; trained nets agree harder.
+    # seeds fixed -> deterministic
+    assert (pq.argmax(-1) == pf.argmax(-1)).mean() >= 0.75
+    assert np.abs(pq - pf).max() < 0.08
+
+
+def test_quantized_tta_and_shared_compile():
+    """TTA variants run quantized; qstats ride as a traced arg so two
+    different experiments' stats reuse ONE compiled step."""
+    from rxtpu.infer.tta import tta_transforms
+
+    cfg = _cfg()
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    rng = np.random.default_rng(1)
+    qstats = calibrate(model, state, [_batch(rng)], 24)
+    step = make_quantized_predict_step(
+        model, 24, transforms=tta_transforms("flips"))
+    p1 = np.asarray(step(state, qstats, _batch(rng)))
+    np.testing.assert_allclose(p1.sum(-1), 1.0, rtol=1e-5)
+    # second stats tree (different values, same shapes): no retrace needed
+    qstats2 = jax.tree_util.tree_map(lambda a: a * 1.5, qstats)
+    p2 = np.asarray(step(state, qstats2, _batch(rng)))
+    assert step._cache_size() == 1
+    assert p1.shape == p2.shape
+
+
+def test_quantize_guards():
+    cfg = _cfg(head="arcface")
+    model = build_model(cfg)
+    assert not quantizable(model)
+    with pytest.raises(ValueError, match="resnet backbones"):
+        make_quantized_predict_step(model, 24)
+    from rxtpu.models.resnet import make_backbone
+
+    with pytest.raises(ValueError, match="int8"):
+        make_backbone("densenet121", quantized=True)
