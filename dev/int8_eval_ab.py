@@ -69,6 +69,28 @@ def main():
     print(f"speedup {dt_f / dt_q:.2f}x   top-1 agreement {agree:.3f}   "
           f"max|dp| {np.abs(pf - pq).max():.4f}")
 
+    # prequantized leg: weights quantized ONCE outside the step — isolates
+    # the int8 forward itself from the in-jit fold+quantize pass
+    import jax.numpy as jnp
+
+    from rxtpu.infer.fold import fold_variables
+    from rxtpu.infer.quant import quantize_variables
+    from rxtpu.train.step import _make_predict_body
+
+    qvars = jax.jit(
+        lambda s, q: quantize_variables(
+            fold_variables(s.params, s.batch_stats), q)
+    )(state, qstats)
+    qmodel = model.clone(folded=True, quantized=True, fuse_blocks=False)
+    body = _make_predict_body(
+        model, args.crop,
+        apply_fn=lambda qv, views: qmodel.apply(qv, views, train=False))
+    pqp_step = jax.jit(lambda qv, b: body(qv, b))
+    pqp, dt_qp = run("int8 (prequantized W)",
+                     lambda: pqp_step(qvars, dbatch))
+    print(f"prequant speedup {dt_f / dt_qp:.2f}x   "
+          f"in-jit quantize cost {1000 * (dt_q - dt_qp):.2f} ms")
+
 
 if __name__ == "__main__":
     main()

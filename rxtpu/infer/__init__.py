@@ -10,6 +10,7 @@ from rxtpu.infer.fold import fold_for_inference  # noqa: F401
 from rxtpu.infer.quant import (  # noqa: F401
     calibrate,
     make_quantized_predict_step,
+    prepare_quantized,
     quantizable,
     quantize_variables,
 )

@@ -8,14 +8,16 @@ accuracy is pinned by tests instead of bit-parity):
    forward with ``quant_observe=True`` over a few batches; every conv
    records its input absmax into the ``qstats`` collection (max-reduced
    across batches). Unlabeled data suffices — test batches work.
-2. ``quantize_variables(folded_vars, qstats)``: symmetric per-out-channel
+2. ``prepare_quantized(model, state, qstats)``: symmetric per-out-channel
    int8 weights (``w_scale``), per-tensor activation scales
-   (``in_scale = absmax/127``); jit-traceable, so the predict step folds
-   AND quantizes from the live train state on the fly.
+   (``in_scale = absmax/127``). Runs ONCE per trained model — quantizing
+   inside the predict step was measured at +9.7 ms/step on v5e
+   (dev/int8_eval_ab.py), nearly half the step, so the step consumes
+   prequantized weights.
 3. ``make_quantized_predict_step(model, ...)``: jitted
-   ``step(state, qstats, batch) -> probs``. ``qstats`` rides as a traced
-   argument so ONE compiled step serves every per-experiment model (the
-   CLI's 18-experiment loop must not recompile, cli.py:458-466).
+   ``step(qvars, batch) -> probs``. ``qvars`` ride as a traced argument
+   so ONE compiled step serves every per-experiment model (the CLI's
+   18-experiment loop must not recompile, cli.py:458-466).
 
 Why: the bf16 eval forward is AT its composition ceiling
 (OPTIMIZATION.md); int8 moves the ceiling — 1.68x MXU rate and half the
@@ -118,15 +120,34 @@ def quantize_variables(folded_vars: Dict[str, Any],
     }}
 
 
+def prepare_quantized(model, state, qstats: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold + quantize the trained weights ONCE (device-resident tree).
+
+    Runs as one jitted pass over the parameters; the result is what
+    ``make_quantized_predict_step``'s step consumes. Re-run after any
+    weight update (inference-time weights are static, so once per model).
+    """
+    if not quantizable(model):
+        raise ValueError(
+            "int8 inference supports resnet backbones with the mlp head, "
+            f"got {model.backbone!r}/{model.head!r}")
+    return jax.jit(
+        lambda s, q: quantize_variables(
+            fold_variables(s.params, s.batch_stats), q)
+    )(state, qstats)
+
+
 def make_quantized_predict_step(
     model, crop_size: Optional[int] = None,
     transforms=None, average: str = "probs",
 ) -> Callable:
-    """Jitted ``step(state, qstats, batch) -> probs [B, nb_classes]``.
+    """Jitted ``step(qvars, batch) -> probs [B, nb_classes]``.
 
     Same TTA/average semantics as ``make_predict_step``; the forward runs
-    the W8A8 backbone. ``qstats`` is a traced argument: one compile
-    serves every experiment's model.
+    the W8A8 backbone on weights prepared by ``prepare_quantized``.
+    ``qvars`` is a traced argument: one compile serves every experiment's
+    model (same shapes), and the quantize pass never rides the hot step
+    (measured +9.7 ms/step when it did).
     """
     from rxtpu.train.step import _make_predict_body
 
@@ -137,17 +158,14 @@ def make_quantized_predict_step(
     qmodel = model.clone(folded=True, quantized=True, fuse_blocks=False,
                          stem_input=False)
 
-    def apply_fn(state_and_stats, views):
-        state, qstats = state_and_stats
-        fvars = fold_variables(state.params, state.batch_stats)
-        qvars = quantize_variables(fvars, qstats)
+    def apply_fn(qvars, views):
         return qmodel.apply(qvars, views, train=False)
 
     body = _make_predict_body(model, crop_size, transforms=transforms,
                               average=average, apply_fn=apply_fn)
 
     @jax.jit
-    def step_fn(state, qstats, batch):
-        return body((state, qstats), batch)
+    def step_fn(qvars, batch):
+        return body(qvars, batch)
 
     return step_fn

@@ -15,6 +15,7 @@ from rxtpu.config import Config, DataConfig, ModelConfig, TrainConfig
 from rxtpu.infer import (
     calibrate,
     make_quantized_predict_step,
+    prepare_quantized,
     quantizable,
     quantize_variables,
 )
@@ -78,17 +79,22 @@ def test_quantized_matches_f32_forward():
     qstats = calibrate(model, state, [_batch(rng), _batch(rng)], 24)
     assert min(float(x) for x in jax.tree_util.tree_leaves(qstats)) > 0
 
-    qvars = quantize_variables(
-        fold_variables(state.params, state.batch_stats), qstats)
+    qvars = prepare_quantized(model, state, qstats)
     conv0 = qvars["params"]["backbone"]["conv_init"]
     assert conv0["kernel_q"].dtype == jnp.int8
     assert conv0["w_scale"].shape == (64,)
     assert conv0["in_scale"].shape == ()
     # head passes through folded (bf16/f32), not quantized
     assert "kernel" in qvars["params"]["head"]["fc1"]
+    # prepare is the jitted fold+quantize composition: same tree (values
+    # can differ in the last f32 ulps from fusion reassociation)
+    qvars2 = quantize_variables(
+        fold_variables(state.params, state.batch_stats), qstats)
+    assert (jax.tree_util.tree_structure(qvars)
+            == jax.tree_util.tree_structure(qvars2))
 
     step = make_quantized_predict_step(model, 24)
-    pq = np.asarray(step(state, qstats, _batch(rng)))
+    pq = np.asarray(step(qvars, _batch(rng)))
     pf = np.asarray(make_predict_step(model, 24)(state, _batch(rng)))
     np.testing.assert_allclose(pq.sum(-1), 1.0, rtol=1e-5)
     # random-init nets amplify quant noise; trained nets agree harder.
@@ -98,8 +104,8 @@ def test_quantized_matches_f32_forward():
 
 
 def test_quantized_tta_and_shared_compile():
-    """TTA variants run quantized; qstats ride as a traced arg so two
-    different experiments' stats reuse ONE compiled step."""
+    """TTA variants run quantized; qvars ride as a traced arg so two
+    different experiments' weights reuse ONE compiled step."""
     from rxtpu.infer.tta import tta_transforms
 
     cfg = _cfg()
@@ -107,13 +113,15 @@ def test_quantized_tta_and_shared_compile():
     state, _ = create_train_state(cfg, model, steps_per_epoch=1)
     rng = np.random.default_rng(1)
     qstats = calibrate(model, state, [_batch(rng)], 24)
+    qvars = prepare_quantized(model, state, qstats)
     step = make_quantized_predict_step(
         model, 24, transforms=tta_transforms("flips"))
-    p1 = np.asarray(step(state, qstats, _batch(rng)))
+    p1 = np.asarray(step(qvars, _batch(rng)))
     np.testing.assert_allclose(p1.sum(-1), 1.0, rtol=1e-5)
-    # second stats tree (different values, same shapes): no retrace needed
-    qstats2 = jax.tree_util.tree_map(lambda a: a * 1.5, qstats)
-    p2 = np.asarray(step(state, qstats2, _batch(rng)))
+    # a second weight tree (different values, same shapes): no retrace
+    qvars2 = jax.tree_util.tree_map(
+        lambda a: a if a.dtype == jnp.int8 else a * 1.5, qvars)
+    p2 = np.asarray(step(qvars2, _batch(rng)))
     assert step._cache_size() == 1
     assert p1.shape == p2.shape
 
