@@ -61,35 +61,35 @@ def main():
               f"{views / dt:7.0f} views/s/chip")
         return np.asarray(p), dt
 
-    fstep = make_predict_step(model, args.crop)
-    qstep = make_quantized_predict_step(model, args.crop)
-    pf, dt_f = run("folded bf16", lambda: fstep(state, dbatch))
-    pq, dt_q = run("quantized int8", lambda: qstep(state, qstats, dbatch))
-    agree = (pf.argmax(-1) == pq.argmax(-1)).mean()
-    print(f"speedup {dt_f / dt_q:.2f}x   top-1 agreement {agree:.3f}   "
-          f"max|dp| {np.abs(pf - pq).max():.4f}")
-
-    # prequantized leg: weights quantized ONCE outside the step — isolates
-    # the int8 forward itself from the in-jit fold+quantize pass
-    import jax.numpy as jnp
-
+    from rxtpu.infer import prepare_quantized
     from rxtpu.infer.fold import fold_variables
     from rxtpu.infer.quant import quantize_variables
     from rxtpu.train.step import _make_predict_body
 
-    qvars = jax.jit(
-        lambda s, q: quantize_variables(
-            fold_variables(s.params, s.batch_stats), q)
-    )(state, qstats)
-    qmodel = model.clone(folded=True, quantized=True, fuse_blocks=False)
-    body = _make_predict_body(
-        model, args.crop,
-        apply_fn=lambda qv, views: qmodel.apply(qv, views, train=False))
-    pqp_step = jax.jit(lambda qv, b: body(qv, b))
-    pqp, dt_qp = run("int8 (prequantized W)",
-                     lambda: pqp_step(qvars, dbatch))
-    print(f"prequant speedup {dt_f / dt_qp:.2f}x   "
-          f"in-jit quantize cost {1000 * (dt_q - dt_qp):.2f} ms")
+    fstep = make_predict_step(model, args.crop)
+    qvars = prepare_quantized(model, state, qstats)
+    qstep = make_quantized_predict_step(model, args.crop)
+    pf, dt_f = run("folded bf16", lambda: fstep(state, dbatch))
+    pq, dt_q = run("int8 (prequantized W)", lambda: qstep(qvars, dbatch))
+    agree = (pf.argmax(-1) == pq.argmax(-1)).mean()
+    print(f"speedup {dt_f / dt_q:.2f}x   top-1 agreement {agree:.3f}   "
+          f"max|dp| {np.abs(pf - pq).max():.4f}")
+
+    # in-jit fold+quantize leg: the retired design, kept to track its cost
+    qmodel = model.clone(folded=True, quantized=True, fuse_blocks=False,
+                         stem_input=False)
+
+    def apply_injit(state_and_stats, views):
+        s, q = state_and_stats
+        return qmodel.apply(
+            quantize_variables(fold_variables(s.params, s.batch_stats), q),
+            views, train=False)
+
+    body = _make_predict_body(model, args.crop, apply_fn=apply_injit)
+    injit_step = jax.jit(lambda s, q, b: body((s, q), b))
+    _, dt_ij = run("int8 (in-jit quantize)",
+                   lambda: injit_step(state, qstats, dbatch))
+    print(f"in-jit quantize cost {1000 * (dt_ij - dt_q):.2f} ms/step")
 
 
 if __name__ == "__main__":

@@ -70,6 +70,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="run K test batches per device dispatch (lax.scan "
                         "window) — same numbers, fewer launches; >1 is "
                         "single-process only")
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="post-training W8A8 test inference: int8 backbone "
+                        "convs calibrated on the first test batches "
+                        "(resnet backbones + mlp head; rxtpu/infer/quant.py)")
+    p.add_argument("--calib-batches", type=int, default=2,
+                   help="test batches observed for int8 activation scales")
     p.add_argument("--calibrate", action="store_true",
                    help="neg-control embedding calibration in the head (config 4)")
     p.add_argument("--fuse-blocks", default="auto",
@@ -463,13 +469,41 @@ def main(argv: Optional[List[str]] = None) -> int:
     # are constant (Pipeline pads to global_bs), so building it inside the
     # loop would retrace+recompile the identical full-size forward once
     # per experiment (~18x compile wall-clock on the Kaggle test set)
+    use_int8 = args.quantize == "int8"
+    if use_int8:
+        from rxtpu.infer import quantizable
+
+        if predict_model is not None:
+            raise SystemExit(
+                "--quantize int8 needs a trained model (unavailable with "
+                "--debug local's DummyClassifier)")
+        if not quantizable(model):
+            raise SystemExit(
+                "--quantize int8 supports resnet backbones with the mlp "
+                f"head, got {cfg.model.backbone}/{cfg.model.head}")
+        if num_hosts > 1:
+            raise SystemExit("--quantize int8 is single-host for now")
+        if args.calib_batches < 1:
+            raise SystemExit("--calib-batches must be >= 1")
+
     scan_window = max(1, args.predict_scan_window)
-    use_scan = (scan_window > 1 and predict_model is None and num_hosts == 1)
+    use_scan = (scan_window > 1 and predict_model is None and num_hosts == 1
+                and not use_int8)
     shared_step = shared_scan_step = None
     if predict_model is not None:
         def shared_step(_state, batch):
             logits = predict_model(batch["images"])
             return jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    elif use_int8:
+        from rxtpu.infer import make_quantized_predict_step
+        from rxtpu.infer.tta import tta_transforms
+
+        # step(qvars, batch): the quantized weight tree rides where the
+        # train state otherwise would (predict_dataset passes it through)
+        shared_step = make_quantized_predict_step(
+            model, args.test_crop, transforms=tta_transforms(args.tta),
+            average=args.tta_average,
+        )
     elif use_scan:
         from rxtpu.infer.tta import make_scanned_tta_predict_step
 
@@ -484,6 +518,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
 
     pred_by_id = {}
+    qvars = None
     for i, experiment in enumerate(experiments):
         # per-experiment byte store, mirroring the reference's per-experiment
         # ImagesDS (main.py:176-181) so test RAM stays one experiment wide
@@ -500,6 +535,21 @@ def main(argv: Optional[List[str]] = None) -> int:
             decoder_threads=decoder_threads, shuffle=False, drop_last=False,
             num_hosts=num_hosts, host_id=host_id,
         )
+        if use_int8 and qvars is None:
+            # one calibration pass on the first experiment's opening
+            # batches, one fold+quantize: every later experiment reuses
+            # the same compiled step AND the same quantized weights
+            import itertools
+
+            from rxtpu.infer import calibrate as quant_calibrate
+            from rxtpu.infer import prepare_quantized
+
+            qstats = quant_calibrate(
+                model, state,
+                itertools.islice(pipe.epoch(0), args.calib_batches),
+                args.test_crop,
+            )
+            qvars = prepare_quantized(model, state, qstats)
         # reference parity: TEST images are normalized but NOT cropped
         # (dataloader.py:128-139); --test-crop N opts into faster cropped
         # inference. DummyClassifier (--debug local) feeds raw images.
@@ -511,7 +561,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
         else:
             probs, ids = predict_dataset(
-                model, state, pipe, args.test_crop, model_fn=shared_step,
+                model, qvars if use_int8 else state, pipe, args.test_crop,
+                model_fn=shared_step,
                 put=None if predict_model is not None else put,
             )
         # rows arrive pipeline-ordered == df order (shuffle=False)

@@ -10,10 +10,10 @@ accuracy is pinned by tests instead of bit-parity):
    across batches). Unlabeled data suffices — test batches work.
 2. ``prepare_quantized(model, state, qstats)``: symmetric per-out-channel
    int8 weights (``w_scale``), per-tensor activation scales
-   (``in_scale = absmax/127``). Runs ONCE per trained model — quantizing
-   inside the predict step was measured at +9.7 ms/step on v5e
-   (dev/int8_eval_ab.py), nearly half the step, so the step consumes
-   prequantized weights.
+   (``in_scale = absmax/127``). Runs ONCE per trained model — the weights
+   are static at inference time, so quantizing inside the predict step is
+   pure redundant work (+0.5 ms/step measured on v5e,
+   dev/int8_eval_ab.py).
 3. ``make_quantized_predict_step(model, ...)``: jitted
    ``step(qvars, batch) -> probs``. ``qvars`` ride as a traced argument
    so ONE compiled step serves every per-experiment model (the CLI's
@@ -147,7 +147,7 @@ def make_quantized_predict_step(
     the W8A8 backbone on weights prepared by ``prepare_quantized``.
     ``qvars`` is a traced argument: one compile serves every experiment's
     model (same shapes), and the quantize pass never rides the hot step
-    (measured +9.7 ms/step when it did).
+    (measured +0.5 ms/step when it did).
     """
     from rxtpu.train.step import _make_predict_body
 

@@ -72,6 +72,42 @@ def test_cli_full_flow(e2e_root, monkeypatch):
     assert os.path.exists("submission_e2e.csv")
 
 
+def test_cli_quantized_int8_predict(tmp_path, monkeypatch):
+    """--quantize int8: full train -> calibrate -> W8A8 test inference.
+
+    Non-debug run (int8 needs a trained model, not the DummyClassifier),
+    so the dataset must survive the stratified val split: 10 train
+    experiments give 10 rows/class. Submission must keep the same
+    format/leak properties as the f32 path.
+    """
+    manifest = make_plate_balanced_synthetic_dataset(
+        str(tmp_path / "data"), nb_classes=4, n_train_experiments=10,
+        n_test_experiments=1, test_types=(0,), img_size=48,
+    )
+    monkeypatch.chdir(tmp_path)
+    rc = cli_main([
+        "--experiment_id", "q8", "--nb-classes", "4", "--backbone",
+        "resnet18", "--epochs", "1", "--batch-size", "2", "--crop-size",
+        "32", "--experiment-types", "0", "--quantize", "int8",
+        "--calib-batches", "1", "--tta", "flips",
+    ])
+    assert rc == 0
+    sub = pd.read_csv("submission_q8.csv")
+    assert list(sub.columns) == ["id_code", "sirna"]
+    assert len(sub) == len(manifest["test"])
+    pg = manifest["plate_groups"]
+    for r in sub.itertuples():
+        plate = int(r.id_code.split("_")[1])
+        assert pg[r.sirna, 0] == plate
+
+    # guard rails: int8 rejects the DummyClassifier path and non-resnets
+    with pytest.raises(SystemExit):
+        cli_main([
+            "--debug", "--experiment_id", "q8d", "--nb-classes", "4",
+            "--quantize", "int8",
+        ])
+
+
 def test_tools_stats_cli(e2e_root, monkeypatch, capsys):
     root, _ = e2e_root
     monkeypatch.chdir(root)
