@@ -215,6 +215,37 @@ def run_eval_bench(backbone: str, batch: int, steps: int, crop: int, src: int,
     out["eval_scanned_ips_per_chip"] = global_batch * G * nb / dt / n_dev
     out["eval_scanned_step_time_ms"] = 1000 * dt / nb
     out["eval_scan_window"] = scan_window
+
+    # W8A8 int8 leg (rxtpu.infer.quant, CLI --quantize int8): same
+    # eval-shape inference on the quantized forward — the one lever that
+    # moves the bf16 composition ceiling itself (int8 MXU 232.7 TOPS
+    # measured = 1.32x, dev/int8_probe.py). Scanned window as above.
+    try:
+        from rxtpu.infer import calibrate, prepare_quantized
+        from rxtpu.infer.quant import make_scanned_quantized_predict_step
+
+        pbatch = {k: dbatch[k] for k in ("images", "mean", "std")}
+        qvars = prepare_quantized(
+            model, state, calibrate(model, state, [pbatch], crop))
+        qstep = make_scanned_quantized_predict_step(model, crop)
+        qwbatch = {k: wbatch[k] for k in ("images", "mean", "std")}
+        p = None
+        for _ in range(2):
+            p = qstep(qvars, qwbatch)
+        float(p[0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            p = qstep(qvars, qwbatch)
+        float(p[0, 0, 0])
+        dt = time.perf_counter() - t0
+        out["eval_int8_scanned_ips_per_chip"] = (
+            global_batch * G * nb / dt / n_dev)
+        out["eval_int8_scanned_step_time_ms"] = 1000 * dt / nb
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        out["eval_int8_scanned_ips_per_chip"] = None
     return out
 
 
@@ -272,6 +303,34 @@ def run_predict_bench(backbone: str, batch: int, steps: int, src: int,
     nb = scan_window * reps
     out["predict_full_scanned_ips_per_chip"] = global_batch * pg * nb / dt / n_dev
     out["predict_full_scanned_step_time_ms"] = 1000 * dt / nb
+
+    # W8A8 int8 full-size leg: the CLI's --quantize int8 test workload
+    try:
+        from rxtpu.infer import calibrate, prepare_quantized
+        from rxtpu.infer.quant import make_scanned_quantized_predict_step
+
+        hbatch = {k: dbatch[k] for k in ("images", "mean", "std")}
+        qvars = prepare_quantized(
+            model, state, calibrate(model, state, [hbatch], None))
+        qstep = make_scanned_quantized_predict_step(model, crop_size=None)
+        qwbatch = {k: wbatch[k] for k in ("images", "mean", "std")}
+        probs = None
+        for _ in range(2):
+            probs = qstep(qvars, qwbatch)
+        float(probs[0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            probs = qstep(qvars, qwbatch)
+        float(probs[0, 0, 0])
+        dt = time.perf_counter() - t0
+        out["predict_full_int8_scanned_ips_per_chip"] = (
+            global_batch * pg * nb / dt / n_dev)
+        out["predict_full_int8_scanned_step_time_ms"] = 1000 * dt / nb
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        out["predict_full_int8_scanned_ips_per_chip"] = None
     return out
 
 
@@ -671,6 +730,11 @@ def main():
             # 23.80 ms): the naive all-MXU bound (~7860) is not physical.
             r["eval_ceiling_ips"] = 4034
             r["predict_full_ceiling_ips"] = 2087
+            # int8 composition ceiling, epilogue dataflow == what the
+            # int8-resident forward achieves (dev/eval_ceiling.py --int8;
+            # OPTIMIZATION.md round-3 int8 section)
+            r["eval_int8_ceiling_ips"] = 6517
+            r["predict_full_int8_ceiling_ips"] = 3387
 
     baseline = 5000.0  # BASELINE.json north star: >=5k 512^2x6ch images/s/chip
     detail = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in r.items()}

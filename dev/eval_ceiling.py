@@ -15,8 +15,29 @@ this chip: beating it requires multi-op fused kernels that keep
 activations resident in VMEM — which round-2 measured to LOSE for these
 shapes (OPTIMIZATION.md "fused two-pass bottleneck").
 
+``--int8`` prices the W8A8 forward instead (rxtpu/infer/quant.py): conv
+MXU time at the measured 232.7 TOPS int8 peak (dev/int8_probe.py), under
+two HBM dataflow models bracketing what XLA's fusion can deliver:
+
+- epilogue (optimistic): every activation materializes ONCE as int8 —
+  scale+bias+relu+requantize all fuse into the producing conv's epilogue,
+  so each conv reads 1B/elt and writes 1B/elt (residual reads 1B). Real
+  XLA cannot reach this: the convolution op's s32 output is an HLO buffer.
+- s32 (the int8-resident implementation, rxtpu/models/quant.py): conv
+  reads s8 (1B/elt) and writes s32 (4B/elt); ONE epilogue fusion reads
+  the s32 back (4B), reads the s8 residual (1B where present), writes s8
+  (1B). No bf16 activation materializes.
+- materialized (the retired consumer-side-quantize design): requantize as
+  a standalone kernel (read bf16 + write int8) before each conv, convs
+  write bf16 via a dequant fusion: 4B/elt in + 2B/elt out.
+
+v5e measured: the materialized design ran 19.7 ms scanned; the
+int8-resident design runs 15.3 ms (dev/int8_eval_ab.py) vs this model's
+s32 prediction — convs are MXU-bound at the int8 rate for most of the
+net, so the extra s32 bytes sit under the MXU time.
+
 Usage: python dev/eval_ceiling.py [--views 96] [--crop 364] [--peak 176e12]
-       [--bw 819e9]
+       [--bw 819e9] [--int8]
 """
 
 from __future__ import annotations
@@ -60,6 +81,13 @@ def main():
     ap.add_argument("--bw", type=float, default=819e9,
                     help="HBM bandwidth (v5e ~819 GB/s)")
     ap.add_argument("--src", type=int, default=512)
+    ap.add_argument("--int8", action="store_true",
+                    help="price the W8A8 quantized forward (see docstring)")
+    ap.add_argument("--int8-dataflow", default="s32",
+                    choices=["epilogue", "s32", "materialized"],
+                    help="HBM model for the requantize (see docstring)")
+    ap.add_argument("--peak-int8", type=float, default=232.7e12,
+                    help="measured int8 MXU peak (dev/int8_probe.py)")
     args = ap.parse_args()
     V, B = args.views, 2  # bf16 bytes
 
@@ -83,16 +111,40 @@ def main():
     h_pool = (h_stem + 1) // 2
     add("maxpool",
         0.0,
-        (V * 64 * (h_stem * h_stem + h_pool * h_pool) * B) / args.bw)
+        (V * 64 * (h_stem * h_stem + h_pool * h_pool)
+         * (1 if args.int8 else B)) / args.bw)  # int8 pool moves s8
 
     for (name, h_in, h_out, c_in, c_out, k, res_read) in ops:
         flops = 2.0 * V * h_out * h_out * c_in * c_out * k * k
         util = min(c_out, 128) / 128.0
-        t_mxu = flops / (args.peak * util)
-        bytes_ = V * B * (
-            h_in * h_in * c_in + h_out * h_out * c_out
-            + res_read * h_out * h_out * c_out
-        )
+        if args.int8:
+            t_mxu = flops / (args.peak_int8 * util)
+            if args.int8_dataflow == "epilogue":
+                # int8 in + int8 out (requantize fused into the epilogue)
+                bytes_ = V * (
+                    h_in * h_in * c_in + h_out * h_out * c_out
+                    + res_read * h_out * h_out * c_out
+                )
+            elif args.int8_dataflow == "s32":
+                # conv: s8 in (1B) + s32 out (4B); epilogue fusion: s32
+                # back in (4B) + s8 residual (1B) + s8 out (1B)
+                bytes_ = V * (
+                    h_in * h_in * c_in + 9 * h_out * h_out * c_out
+                    + res_read * h_out * h_out * c_out
+                )
+            else:
+                # requantize kernel (2B read + 1B write of the input) +
+                # conv int8 read (1B) + bf16 epilogue write (2B) + residual
+                bytes_ = V * (
+                    4 * h_in * h_in * c_in + 2 * h_out * h_out * c_out
+                    + res_read * 2 * h_out * h_out * c_out
+                )
+        else:
+            t_mxu = flops / (args.peak * util)
+            bytes_ = V * B * (
+                h_in * h_in * c_in + h_out * h_out * c_out
+                + res_read * h_out * h_out * c_out
+            )
         add(name, t_mxu, bytes_ / args.bw)
 
     # global pool + head: tiny

@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--src", type=int, default=512)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--g", type=int, default=3)
+    ap.add_argument("--scan-window", type=int, default=8,
+                    help="K batches per dispatch for the scanned legs")
     args = ap.parse_args()
 
     import sys
@@ -90,6 +92,38 @@ def main():
     _, dt_ij = run("int8 (in-jit quantize)",
                    lambda: injit_step(state, qstats, dbatch))
     print(f"in-jit quantize cost {1000 * (dt_ij - dt_q):.2f} ms/step")
+
+    # scanned legs: K batches per dispatch — isolates relay dispatch
+    # overhead from the device-side step (CLAUDE.md: ~1-1.6 ms/launch)
+    K = args.scan_window
+    if K > 1:
+        import jax.numpy as jnp
+
+        from rxtpu.infer.quant import make_scanned_quantized_predict_step
+        from rxtpu.train.step import make_scanned_predict_step
+
+        wbatch = {k: jnp.stack([dbatch[k]] * K) for k in dbatch}
+
+        def run_w(label, fn):
+            p = None
+            for _ in range(3):
+                p = fn()
+            float(p[0, 0, 0])
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                p = fn()
+            float(p[0, 0, 0])
+            dt = (time.perf_counter() - t0) / args.steps / K
+            print(f"{label:24s} {1000 * dt:7.2f} ms/batch "
+                  f"{views / dt:7.0f} views/s/chip")
+            return np.asarray(p), dt
+
+        sf = make_scanned_predict_step(model, args.crop)
+        sq = make_scanned_quantized_predict_step(model, args.crop)
+        psf, _ = run_w(f"bf16 scan K={K}", lambda: sf(state, wbatch))
+        psq, _ = run_w(f"int8 scan K={K}", lambda: sq(qvars, wbatch))
+        print(f"scan==per-batch parity: bf16 {np.abs(psf[0] - pf).max():.2e}"
+              f"  int8 {np.abs(psq[0] - pq).max():.2e}")
 
 
 if __name__ == "__main__":

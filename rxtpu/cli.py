@@ -487,8 +487,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             raise SystemExit("--calib-batches must be >= 1")
 
     scan_window = max(1, args.predict_scan_window)
-    use_scan = (scan_window > 1 and predict_model is None and num_hosts == 1
-                and not use_int8)
+    use_scan = (scan_window > 1 and predict_model is None and num_hosts == 1)
     shared_step = shared_scan_step = None
     if predict_model is not None:
         def shared_step(_state, batch):
@@ -496,14 +495,22 @@ def main(argv: Optional[List[str]] = None) -> int:
             return jax.nn.softmax(jnp.asarray(logits), axis=-1)
     elif use_int8:
         from rxtpu.infer import make_quantized_predict_step
+        from rxtpu.infer.quant import make_scanned_quantized_predict_step
         from rxtpu.infer.tta import tta_transforms
 
         # step(qvars, batch): the quantized weight tree rides where the
-        # train state otherwise would (predict_dataset passes it through)
-        shared_step = make_quantized_predict_step(
-            model, args.test_crop, transforms=tta_transforms(args.tta),
-            average=args.tta_average,
-        )
+        # train state otherwise would (predict_dataset passes it through);
+        # the scanned variant is slice-bitwise-identical (test_quant.py)
+        if use_scan:
+            shared_scan_step = make_scanned_quantized_predict_step(
+                model, args.test_crop, transforms=tta_transforms(args.tta),
+                average=args.tta_average,
+            )
+        else:
+            shared_step = make_quantized_predict_step(
+                model, args.test_crop, transforms=tta_transforms(args.tta),
+                average=args.tta_average,
+            )
     elif use_scan:
         from rxtpu.infer.tta import make_scanned_tta_predict_step
 
@@ -555,7 +562,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         # inference. DummyClassifier (--debug local) feeds raw images.
         if use_scan:
             probs, ids = predict_dataset(
-                model, state, pipe, args.test_crop,
+                model, qvars if use_int8 else state, pipe, args.test_crop,
                 scan_window=scan_window, mesh=mesh,
                 scan_step=shared_scan_step,
             )

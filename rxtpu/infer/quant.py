@@ -12,8 +12,9 @@ accuracy is pinned by tests instead of bit-parity):
    int8 weights (``w_scale``), per-tensor activation scales
    (``in_scale = absmax/127``). Runs ONCE per trained model — the weights
    are static at inference time, so quantizing inside the predict step is
-   pure redundant work (+0.5 ms/step measured on v5e,
-   dev/int8_eval_ab.py).
+   pure redundant work (measured +0.5 to +9.5 ms/step across runs on v5e
+   — the relay's XLA fuses the pass nondeterministically — which
+   prequantizing removes entirely; dev/int8_eval_ab.py).
 3. ``make_quantized_predict_step(model, ...)``: jitted
    ``step(qvars, batch) -> probs``. ``qvars`` ride as a traced argument
    so ONE compiled step serves every per-experiment model (the CLI's
@@ -99,6 +100,12 @@ def _quantize_backbone(p: Dict[str, Any], s: Dict[str, Any]):
                     jnp.asarray(s[k]["in_absmax"], jnp.float32).reshape(())
                     / 127.0, 1e-12),
             }
+            if "out_absmax" in s.get(k, {}):
+                # used by projection convs, whose int8 output is a residual
+                # branch with no consumer conv to take a scale from
+                out[k]["out_scale"] = jnp.maximum(
+                    jnp.asarray(s[k]["out_absmax"], jnp.float32).reshape(())
+                    / 127.0, 1e-12)
         elif isinstance(v, dict):
             out[k] = _quantize_backbone(v, s.get(k, {}))
         else:
@@ -147,8 +154,41 @@ def make_quantized_predict_step(
     the W8A8 backbone on weights prepared by ``prepare_quantized``.
     ``qvars`` is a traced argument: one compile serves every experiment's
     model (same shapes), and the quantize pass never rides the hot step
-    (measured +0.5 ms/step when it did).
+    (measured +0.5 to +9.5 ms/step when it did).
     """
+    body = _make_quantized_body(model, crop_size, transforms, average)
+
+    @jax.jit
+    def step_fn(qvars, batch):
+        return body(qvars, batch)
+
+    return step_fn
+
+
+def make_scanned_quantized_predict_step(
+    model, crop_size: Optional[int] = None,
+    transforms=None, average: str = "probs",
+) -> Callable:
+    """Windowed W8A8 variant: ``step(qvars, batches[K,B,...]) -> [K,B,C]``.
+
+    lax.scan over a stacked window of K batches, one dispatch per window
+    (same amortization as ``make_scanned_predict_step``); each window
+    slice is numerically identical to a ``make_quantized_predict_step``
+    call on that batch.
+    """
+    body = _make_quantized_body(model, crop_size, transforms, average)
+
+    def step_fn(qvars, batches):
+        def f(carry, batch):
+            return carry, body(qvars, batch)
+
+        _, probs = jax.lax.scan(f, None, batches)
+        return probs
+
+    return jax.jit(step_fn)
+
+
+def _make_quantized_body(model, crop_size, transforms, average) -> Callable:
     from rxtpu.train.step import _make_predict_body
 
     if not quantizable(model):
@@ -161,11 +201,5 @@ def make_quantized_predict_step(
     def apply_fn(qvars, views):
         return qmodel.apply(qvars, views, train=False)
 
-    body = _make_predict_body(model, crop_size, transforms=transforms,
+    return _make_predict_body(model, crop_size, transforms=transforms,
                               average=average, apply_fn=apply_fn)
-
-    @jax.jit
-    def step_fn(qvars, batch):
-        return body(qvars, batch)
-
-    return step_fn

@@ -14,11 +14,18 @@ Semantics (symmetric, zero-point-free — conv zero padding stays exact):
   y   = conv(xq, kernel_q)                    int32  [MXU int8 path]
   out = y * (in_scale * w_scale) + bias       f32    [w_scale per out-ch]
 
-The quantize step fuses into the previous op's epilogue and the dequant
-into the conv's own epilogue, so the tensors that actually hit HBM are
-int8. Quantizing the forward is jit-traceable (round/clip/scale), so the
-predict step folds BN AND quantizes from the live train state on the fly;
-only calibration (data-dependent activation ranges) runs ahead of time.
+The forward keeps activations INT8-RESIDENT between convs: each conv's
+epilogue (dequant + bias [+ residual] + relu + requantize-to-the-next-
+conv's-scale) is one single-consumer elementwise chain off the s32 conv
+output, which XLA fuses into ONE kernel writing int8 — no bf16 activation
+ever materializes in HBM, residual branches read the int8 tensor
+(dequantized in the consuming epilogue), and the stem maxpool runs on
+int8 directly (monotone => exact). Measured on v5e (dev/hlo_traffic.py):
+the earlier consumer-side-quantize design materialized bf16 block
+outputs + standalone requantize kernels worth ~8 ms of HBM traffic per
+96-view step. Quantizing the forward is jit-traceable (round/clip/scale),
+so the predict step folds BN AND quantizes from the live train state on
+the fly; only calibration (data-dependent ranges) runs ahead of time.
 
 These modules are eval-only companions of the reference architecture
 (cell_classifier/models.py:16-29 via the BN-folded form, rxtpu/infer/
@@ -42,10 +49,12 @@ def _as_pair(v) -> Tuple[int, int]:
 
 
 class ObservedConv(nn.Conv):
-    """nn.Conv that records its input's absmax into the ``qstats``
-    collection (max-reduced across calls/batches). Used with the BN-folded
-    weight tree during calibration; parameter paths are identical to
-    ``nn.Conv`` (it IS one)."""
+    """nn.Conv that records its input's AND output's absmax into the
+    ``qstats`` collection (max-reduced across calls/batches). Used with
+    the BN-folded weight tree during calibration; parameter paths are
+    identical to ``nn.Conv`` (it IS one). The output range feeds the
+    projection convs' ``out_scale`` (their output is a residual branch —
+    no consumer conv holds a calibrated scale for it)."""
 
     @nn.compact
     def __call__(self, x):
@@ -55,7 +64,14 @@ class ObservedConv(nn.Conv):
             init_fn=lambda: jnp.float32(0.0),
             reduce_fn=lambda a, b: jnp.maximum(a, b),
         )
-        return super().__call__(x)
+        y = super().__call__(x)
+        self.sow(
+            "qstats", "out_absmax",
+            jnp.max(jnp.abs(y.astype(jnp.float32))),
+            init_fn=lambda: jnp.float32(0.0),
+            reduce_fn=lambda a, b: jnp.maximum(a, b),
+        )
+        return y
 
 
 class QuantConv(nn.Module):
@@ -65,6 +81,16 @@ class QuantConv(nn.Module):
     the backbone's ``conv`` partial can swap classes; ``use_bias`` /
     ``kernel_init`` are accepted for signature compatibility (bias always
     exists — it carries the folded BN shift).
+
+    The call signature supports the int8-RESIDENT dataflow (see module
+    docstring): ``x`` is either a bf16/f32 array (quantized here with the
+    calibrated ``in_scale`` param) or an ``(int8 array, scale)`` pair a
+    producer already quantized; ``relu_out`` folds the block's relu into
+    this conv's epilogue; ``residual`` (array or pair) is added before the
+    relu; ``out_scale`` requantizes the epilogue output and returns an
+    ``(int8, out_scale)`` pair instead of a bf16 array — so between convs
+    only int8 tensors hit HBM (the s32 conv output -> next int8 tensor is
+    a single-consumer elementwise chain XLA fuses into ONE kernel).
     """
 
     features: int
@@ -77,9 +103,11 @@ class QuantConv(nn.Module):
     kernel_init: Any = None  # unused: weights come from quantize_variables
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_scale=None, relu_out: bool = False,
+                 residual=None):
         kh, kw = _as_pair(self.kernel_size)
-        cin = x.shape[-1]
+        pre_quantized = isinstance(x, tuple)
+        cin = (x[0] if pre_quantized else x).shape[-1]
         kq = self.param(
             "kernel_q",
             lambda _k, s: jnp.zeros(s, jnp.int8),
@@ -95,10 +123,15 @@ class QuantConv(nn.Module):
         )
         in_scale = self.param(
             "in_scale", lambda _k, s: jnp.ones(s, jnp.float32), ())
-        inv = (1.0 / in_scale).astype(jnp.float32)
-        xq = jnp.clip(
-            jnp.round(x.astype(jnp.float32) * inv), -127, 127
-        ).astype(jnp.int8)
+        if pre_quantized:
+            # producer quantized with the SAME calibration entry this
+            # conv's in_scale came from; use the scale it actually used
+            xq, in_scale = x
+        else:
+            inv = (1.0 / in_scale).astype(jnp.float32)
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * inv), -127, 127
+            ).astype(jnp.int8)
         pad = self.padding
         if isinstance(pad, (list, tuple)):
             pad = [tuple(p) for p in pad]
@@ -108,4 +141,30 @@ class QuantConv(nn.Module):
             preferred_element_type=jnp.int32,
         )
         out = y.astype(jnp.float32) * (w_scale * in_scale) + bias
+        if residual is not None:
+            if isinstance(residual, tuple):
+                rq, rs = residual
+                out = out + rq.astype(jnp.float32) * rs
+            else:
+                out = out + residual.astype(jnp.float32)
+        if relu_out:
+            out = jnp.maximum(out, 0.0)
+        if out_scale is not None:
+            q = jnp.clip(
+                jnp.round(out * (1.0 / out_scale).astype(jnp.float32)),
+                -127, 127).astype(jnp.int8)
+            return q, out_scale
         return out.astype(self.dtype)
+
+
+def quant_max_pool(x, window=(3, 3), strides=(2, 2),
+                   padding=((1, 1), (1, 1))):
+    """Max pool on an ``(int8, scale)`` pair. Quantization is monotone, so
+    pooling the quantized tensor == quantizing the pooled tensor — and the
+    int8 pool moves half the HBM bytes. Padding uses -128 (< any quantized
+    value, which clips at -127), matching ``nn.max_pool``'s -inf pad."""
+    q, s = x
+    out = jax.lax.reduce_window(
+        q, jnp.int8(-128), jax.lax.max,
+        (1, *window, 1), (1, *strides, 1), ((0, 0), *padding, (0, 0)))
+    return out, s

@@ -38,9 +38,28 @@ class ResNetBlock(nn.Module):
     conv: ModuleDef
     norm: ModuleDef
     strides: Tuple[int, int] = (1, 1)
+    # int8-resident W8A8 inference dataflow (rxtpu.models.quant): x and the
+    # return value are (int8, scale) pairs, relu/requantize fold into the
+    # conv epilogues, the residual branch reads the int8 tensor
+    quantized: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_scale=None):
+        if self.quantized:
+            scales = self.variables["params"]
+            residual = x
+            xin = x[0] if isinstance(x, tuple) else x
+            y = self.conv(self.filters, (3, 3), self.strides,
+                          padding=[(1, 1), (1, 1)], name="Conv_0")(
+                x, out_scale=scales["Conv_1"]["in_scale"], relu_out=True)
+            if self.strides != (1, 1) or xin.shape[-1] != self.filters:
+                # see BottleneckBlock: int8-resident proj residual
+                residual = self.conv(self.filters, (1, 1), self.strides,
+                                     name="conv_proj")(
+                    residual, out_scale=scales["conv_proj"].get("out_scale"))
+            return self.conv(self.filters, (3, 3),
+                             padding=[(1, 1), (1, 1)], name="Conv_1")(
+                y, out_scale=out_scale, relu_out=True, residual=residual)
         residual = x
         # conv names are explicit (== what auto-naming produced) so the
         # quantized/observed conv classes keep identical parameter paths
@@ -66,9 +85,27 @@ class BottleneckBlock(nn.Module):
     conv: ModuleDef
     norm: ModuleDef
     strides: Tuple[int, int] = (1, 1)
+    quantized: bool = False  # see ResNetBlock.quantized
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_scale=None):
+        if self.quantized:
+            scales = self.variables["params"]
+            residual = x
+            xin = x[0] if isinstance(x, tuple) else x
+            y = self.conv(self.filters, (1, 1), name="Conv_0")(
+                x, out_scale=scales["Conv_1"]["in_scale"], relu_out=True)
+            y = self.conv(self.filters, (3, 3), self.strides,
+                          padding=[(1, 1), (1, 1)], name="Conv_1")(
+                y, out_scale=scales["Conv_2"]["in_scale"], relu_out=True)
+            if self.strides != (1, 1) or xin.shape[-1] != self.filters * 4:
+                # int8-resident residual: the proj output requantizes with
+                # its own calibrated output range (no relu — pre-add value)
+                residual = self.conv(self.filters * 4, (1, 1), self.strides,
+                                     name="conv_proj")(
+                    residual, out_scale=scales["conv_proj"].get("out_scale"))
+            return self.conv(self.filters * 4, (1, 1), name="Conv_2")(
+                y, out_scale=out_scale, relu_out=True, residual=residual)
         residual = x
         # conv names are explicit (== what auto-naming produced) so the
         # quantized/observed conv classes keep identical parameter paths
@@ -155,16 +192,38 @@ class ResNet(nn.Module):
                 axis_name=self.bn_axis_name if train else None,
             )
 
+        qnames = qscales = None
+        if self.quantized:
+            # int8-resident dataflow: each producer requantizes to the
+            # NEXT conv's calibrated scale in its own epilogue; the scales
+            # are the consumers' in_scale params, read from the tree here
+            qnames = [f"stage{i+1}_block{j+1}"
+                      for i, bs in enumerate(self.stage_sizes)
+                      for j in range(bs)]
+            pvars = self.variables["params"]
+            qscales = [pvars[n]["Conv_0"]["in_scale"] for n in qnames]
+
         x = x.astype(self.dtype)
         if not self.stem_input:
             # 6-channel stem: 7x7/2 conv (models.py:18-27), 3x3/2 maxpool.
-            x = conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv_init")(x)
-            x = norm(name="bn_init")(x)
-            x = nn.relu(x)
-            # NOTE: rxtpu.ops.maxpool's elementwise custom-vjp backward was
-            # A/B-measured 15 ms/step SLOWER than select-and-scatter here
-            # (OPTIMIZATION.md round 3); the XLA default stays.
-            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+            if self.quantized:
+                from rxtpu.models.quant import quant_max_pool
+
+                # stride 2 < window 3 => every pre-pool value lands in some
+                # window, so max(pool(x)) == max(x) and quantizing BEFORE
+                # the pool with the pool-output calibration is exact
+                x = conv(self.num_filters, (7, 7), (2, 2),
+                         padding=[(3, 3), (3, 3)], name="conv_init")(
+                    x, out_scale=qscales[0], relu_out=True)
+                x = quant_max_pool(x)
+            else:
+                x = conv(self.num_filters, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv_init")(x)
+                x = norm(name="bn_init")(x)
+                x = nn.relu(x)
+                # NOTE: rxtpu.ops.maxpool's elementwise custom-vjp backward
+                # was A/B-measured 15 ms/step SLOWER than select-and-scatter
+                # here (OPTIMIZATION.md round 3); the XLA default stays.
+                x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         fuse = (
             self.fuse_blocks
             and train
@@ -203,6 +262,17 @@ class ResNet(nn.Module):
                         width=flat_hw[1],
                         name=name,
                     )(x)
+                elif self.quantized:
+                    k = qnames.index(name)
+                    nxt = qscales[k + 1] if k + 1 < len(qnames) else None
+                    x = self.block_cls(
+                        self.num_filters * 2**i,
+                        strides=strides,
+                        conv=conv,
+                        norm=norm,
+                        quantized=True,
+                        name=name,
+                    )(x, out_scale=nxt)
                 else:
                     x = self.block_cls(
                         self.num_filters * 2**i,

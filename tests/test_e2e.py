@@ -85,11 +85,15 @@ def test_cli_quantized_int8_predict(tmp_path, monkeypatch):
         n_test_experiments=1, test_types=(0,), img_size=48,
     )
     monkeypatch.chdir(tmp_path)
+    # --test-crop keeps the int8 predict cheap on the CPU mesh: the 8
+    # virtual devices share one core and CPU XLA executes s8 convs ~2.3x
+    # slower than bf16 (the int8 path targets the TPU MXU; full-size
+    # 48^2 predicts here cost ~2 min/batch)
     rc = cli_main([
         "--experiment_id", "q8", "--nb-classes", "4", "--backbone",
         "resnet18", "--epochs", "1", "--batch-size", "2", "--crop-size",
         "32", "--experiment-types", "0", "--quantize", "int8",
-        "--calib-batches", "1", "--tta", "flips",
+        "--calib-batches", "1", "--tta", "flips", "--test-crop", "24",
     ])
     assert rc == 0
     sub = pd.read_csv("submission_q8.csv")
@@ -99,6 +103,20 @@ def test_cli_quantized_int8_predict(tmp_path, monkeypatch):
     for r in sub.itertuples():
         plate = int(r.id_code.split("_")[1])
         assert pg[r.sirna, 0] == plate
+
+    # int8 + scanned predict (phase-skip re-run: best ckpt exists, so this
+    # goes straight to test): scan slices are bitwise-identical to the
+    # per-batch step, so the submission must match exactly
+    rc = cli_main([
+        "--experiment_id", "q8", "--nb-classes", "4", "--backbone",
+        "resnet18", "--epochs", "1", "--batch-size", "2", "--crop-size",
+        "32", "--experiment-types", "0", "--quantize", "int8",
+        "--calib-batches", "1", "--tta", "flips", "--test-crop", "24",
+        "--predict-scan-window", "2",
+    ])
+    assert rc == 0
+    sub2 = pd.read_csv("submission_q8.csv")
+    assert sub2.equals(sub)
 
     # guard rails: int8 rejects the DummyClassifier path and non-resnets
     with pytest.raises(SystemExit):

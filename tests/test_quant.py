@@ -77,7 +77,13 @@ def test_quantized_matches_f32_forward():
     state, _ = create_train_state(cfg, model, steps_per_epoch=1)
     rng = np.random.default_rng(0)
     qstats = calibrate(model, state, [_batch(rng), _batch(rng)], 24)
-    assert min(float(x) for x in jax.tree_util.tree_leaves(qstats)) > 0
+    # every conv INPUT is a live activation => strictly positive range;
+    # out_absmax MAY be 0 on untrained nets (zero-init final-BN folds)
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(qstats)
+    assert min(float(v) for k, v in flat.items()
+               if k[-1] == "in_absmax") > 0
 
     qvars = prepare_quantized(model, state, qstats)
     conv0 = qvars["params"]["backbone"]["conv_init"]
@@ -124,6 +130,26 @@ def test_quantized_tta_and_shared_compile():
     p2 = np.asarray(step(qvars2, _batch(rng)))
     assert step._cache_size() == 1
     assert p1.shape == p2.shape
+
+
+def test_scanned_quantized_step_parity():
+    """Window slices == per-batch quantized step, bitwise per slice."""
+    from rxtpu.infer.quant import make_scanned_quantized_predict_step
+
+    cfg = _cfg()
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    rng = np.random.default_rng(2)
+    qstats = calibrate(model, state, [_batch(rng)], 24)
+    qvars = prepare_quantized(model, state, qstats)
+
+    batches = [_batch(rng) for _ in range(3)]
+    window = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+    scanned = np.asarray(
+        make_scanned_quantized_predict_step(model, 24)(qvars, window))
+    step = make_quantized_predict_step(model, 24)
+    for i, b in enumerate(batches):
+        np.testing.assert_array_equal(scanned[i], np.asarray(step(qvars, b)))
 
 
 def test_quantize_guards():
