@@ -481,8 +481,6 @@ def main(argv: Optional[List[str]] = None) -> int:
             raise SystemExit(
                 "--quantize int8 supports resnet backbones with the mlp "
                 f"head, got {cfg.model.backbone}/{cfg.model.head}")
-        if num_hosts > 1:
-            raise SystemExit("--quantize int8 is single-host for now")
         if args.calib_batches < 1:
             raise SystemExit("--calib-batches must be >= 1")
 
@@ -551,11 +549,16 @@ def main(argv: Optional[List[str]] = None) -> int:
             from rxtpu.infer import calibrate as quant_calibrate
             from rxtpu.infer import prepare_quantized
 
-            qstats = quant_calibrate(
-                model, state,
-                itertools.islice(pipe.epoch(0), args.calib_batches),
-                args.test_crop,
-            )
+            def calib_batches():
+                # feed through `put` so pods observe globally-assembled
+                # batches: every process derives IDENTICAL scales (a
+                # host-local slice would give each host its own qvars)
+                it = itertools.islice(pipe.epoch(0), args.calib_batches)
+                for b in it:
+                    yield {k: b[k] for k in ("images", "mean", "std")}
+
+            qstats = quant_calibrate(model, state, put(calib_batches()),
+                                     args.test_crop)
             qvars = prepare_quantized(model, state, qstats)
         # reference parity: TEST images are normalized but NOT cropped
         # (dataloader.py:128-139); --test-crop N opts into faster cropped

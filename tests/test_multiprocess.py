@@ -86,6 +86,24 @@ with mesh:
     probs, ids = predict_dataset(model, state, pipe_t, CROP, put=put)
     print("PRED", len(ids), repr(float(np.asarray(probs, np.float64).sum())))
 
+    # pod int8 path (CLI --quantize int8): calibration observes the SAME
+    # globally-assembled batches on every process -> identical scales ->
+    # identical quantized predictions gathered on both controllers
+    import itertools
+    from rxtpu.infer import calibrate, prepare_quantized
+    from rxtpu.infer.quant import make_quantized_predict_step
+
+    def calib():
+        for b in itertools.islice(pipe_t.epoch(0), 1):
+            yield {k: b[k] for k in ("images", "mean", "std")}
+    qstats = calibrate(model, state, put(calib()), CROP)
+    qvars = prepare_quantized(model, state, qstats)
+    qprobs, qids = predict_dataset(
+        model, qvars, pipe_t, CROP, put=put,
+        model_fn=make_quantized_predict_step(model, CROP))
+    print("QPRED", len(qids),
+          repr(float(np.asarray(qprobs, np.float64).sum())))
+
     # multi-process checkpointing: collective host gather, process-0 write
     from rxtpu.train.checkpoint import save_checkpoint
     ck = os.path.join(sys.argv[4], "mp_last.ckpt")
@@ -138,7 +156,9 @@ def test_two_process_distributed_feed(synthetic_root, tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=540)
+            # generous: the int8 leg adds calibrate+quantized compiles and
+            # CPU XLA executes s8 convs ~2.3x slower than bf16
+            out, _ = p.communicate(timeout=840)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -164,6 +184,18 @@ def test_two_process_distributed_feed(synthetic_root, tmp_path):
         preds.append((int(n), float(ssum.strip("'\""))))
     assert preds[0] == preds[1], preds
     assert preds[0][0] > 0
+
+    # int8 pod path: both controllers derived identical calibration scales
+    # from the globally-assembled batches and gathered identical quantized
+    # predictions over the full test set
+    qpreds = []
+    for o in outs:
+        lines = [l for l in o.splitlines() if l.startswith("QPRED ")]
+        assert lines, f"worker produced no int8 predictions:\n{o[-2000:]}"
+        _, n, ssum = lines[-1].split(" ", 2)
+        qpreds.append((int(n), float(ssum.strip("'\""))))
+    assert qpreds[0] == qpreds[1], qpreds
+    assert qpreds[0][0] == preds[0][0]
 
     # multi-process checkpoint: written exactly once (by process 0), and
     # the in-save barrier makes it visible to BOTH processes on return
