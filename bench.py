@@ -25,10 +25,14 @@ The JSON line tells the whole story:
   (PCIe H2D), derived from the measured steady-state assembly rate; the
   on-rig ``input_stall_pct`` is dominated by the dev tunnel's ~10-30 MB/s
   host->device relay (reported as ``h2d_MBps``).
-- ``detail.storage_MBps_required[_zlib]`` + ``projected_stall_pct_at_
-  measured_storage[_zlib]``: disk-bandwidth demand of a zero-stall feed
-  for the raw and zlib-compressed rxpack variants (the compressed pack
-  divides the demand by ``pack_zlib_ratio`` at measured inflate cost).
+- ``detail.storage_MBps_required[_fmt]``, ``projected_stall_pct_
+  production[_fmt]``, ``min_cores_for_2pct[_fmt]`` and ``min_storage_
+  MBps_for_2pct[_fmt]`` for fmt in {raw, zlib, zf (PNG-filtered zlib
+  rxpack), jpeg}: the production-host input-stall model per feed format
+  (measured assembly/inflate/decode costs + measured cold-storage rate +
+  a documented core-scaling model — see ``_project_stalls``). The <2%
+  BASELINE axis is judged on these: at the reference 14-core host the
+  filtered pack must project under 2% at its stated storage envelope.
 
 - ``detail.eval_ips_per_chip``: the inference-class rate (center-crop +
   normalize + forward, no bwd) — the workload class where the 5000
@@ -340,8 +344,17 @@ def run_predict_bench(backbone: str, batch: int, steps: int, src: int,
 # ---------------------------------------------------------------------------
 
 def _bench_dataset(src: int, min_records: int):
-    """Synthetic jpeg tree + rxpack under a reusable cache dir."""
-    cache = os.environ.get("RXTPU_BENCH_CACHE", "/tmp/rxtpu_bench_data_v1")
+    """Synthetic jpeg tree + rxpack variants under a reusable cache dir.
+
+    v2: image content is ``content="cells"`` (dark-field fluorescence-like
+    planes — sparse Gaussian cells + sensor noise) instead of 60-level
+    i.i.d. uniform noise. Uniform noise carries ~5.9 bits/pixel of
+    irreducible entropy, which capped every codec at ~1.3x and made the
+    compressed-pack storage numbers unrepresentative of the RxRx1 content
+    the reference actually trains on. Compute-leg timings are unaffected
+    (the step never sees pixel statistics).
+    """
+    cache = os.environ.get("RXTPU_BENCH_CACHE", "/tmp/rxtpu_bench_data_v2")
     marker = os.path.join(cache, f"ok_{src}_{min_records}")
     if not os.path.exists(marker):
         from rxtpu.data.pack import write_pack
@@ -352,24 +365,26 @@ def _bench_dataset(src: int, min_records: int):
         make_synthetic_dataset(
             cache, experiments=("HUVEC-01", "U2OS-01"), plates=(1, 2),
             wells_per_plate=max(4, min_records // 4 + 1), img_size=src,
-            splits=("train",),
+            splits=("train",), content="cells",
         )
         df, dfc = read_metadata_csvs(os.path.join(cache, "metadata"), "train")
         idx = load_metadata(df, dfc, "train")
         write_pack(idx, cache, os.path.join(cache, "pack"), src_size=src)
         write_pack(idx, cache, os.path.join(cache, "pack_z"), src_size=src,
                    compress="zlib")
+        write_pack(idx, cache, os.path.join(cache, "pack_zf"), src_size=src,
+                   compress="zlib", filter="png")
         with open(marker, "w") as f:
             f.write("ok")
-    # older cache dirs predate the compressed pack; top it up in place
-    if not os.path.exists(os.path.join(cache, "pack_z", "train.rxpack")):
+    # older cache dirs predate the filtered pack; top it up in place
+    if not os.path.exists(os.path.join(cache, "pack_zf", "train.rxpack")):
         from rxtpu.data.pack import write_pack
         from rxtpu.data.records import load_metadata, read_metadata_csvs
 
         df, dfc = read_metadata_csvs(os.path.join(cache, "metadata"), "train")
         idx = load_metadata(df, dfc, "train")
-        write_pack(idx, cache, os.path.join(cache, "pack_z"), src_size=src,
-                   compress="zlib")
+        write_pack(idx, cache, os.path.join(cache, "pack_zf"), src_size=src,
+                   compress="zlib", filter="png")
     return cache
 
 
@@ -502,38 +517,68 @@ def run_pipeline_bench(backbone: str, batch: int, steps: int, crop: int, src: in
     # before the measured leg starts its own producer
     host_it.close()
 
-    # compressed-pack leg: same batches via the zlib rxpack (inflate in the
-    # native pool) — assembly cost + size ratio, for the storage-bandwidth
-    # projection below. Ratio on synthetic noise-textured cells lands lower
-    # than real fluorescence microscopy; both are reported, not assumed.
+    # alternative-feed legs: the same batches assembled from (a) the zlib
+    # rxpack, (b) the PNG-filtered zlib rxpack (inflate+unfilter in the
+    # native pool), and (c) the compressed JPEG tree (reference-parity
+    # feed: cached bytes -> native libjpeg pool, dataloader.py:55-62).
+    # Each yields an assembly cost and a bytes-per-batch figure for the
+    # production stall projections below. Ratios are measured on the
+    # "cells" content (dark-field microscopy-like), not assumed.
     raw_path = os.path.join(root, "pack", "train.rxpack")
-    z_path = os.path.join(root, "pack_z", "train.rxpack")
-    pack_zlib_ratio = os.path.getsize(raw_path) / max(os.path.getsize(z_path), 1)
-    store_z = PackStore(z_path)
-    pipe_z = Pipeline(idx, store_z, stats, global_batch, "train",
-                      src_size=src, seed=0, prefetch_depth=3)
 
-    def batches_z():
-        epoch = 0
-        while True:
-            for b in pipe_z.epoch(epoch):
-                b.pop("id_codes", None)
-                b.pop("valid", None)
-                yield b
-            epoch += 1
+    def _assemble_rate(store) -> float:
+        p = Pipeline(idx, store, stats, global_batch, "train",
+                     src_size=src, seed=0, prefetch_depth=3)
 
-    z_it = batches_z()
-    for _ in range(4):
-        next(z_it)  # warm (page cache + pool threads)
-    t0 = time.perf_counter()
-    for _ in range(n_probe):
-        next(z_it)
-    assemble_z_s = (time.perf_counter() - t0) / n_probe
-    z_it.close()
+        def gen():
+            epoch = 0
+            while True:
+                for b in p.epoch(epoch):
+                    b.pop("id_codes", None)
+                    b.pop("valid", None)
+                    yield b
+                epoch += 1
+
+        it = gen()
+        for _ in range(4):
+            next(it)  # warm (page cache + pool threads + numpy buffers)
+        t0 = time.perf_counter()
+        for _ in range(n_probe):
+            next(it)
+        dt = (time.perf_counter() - t0) / n_probe
+        it.close()
+        return dt
+
+    raw_pack_bytes = os.path.getsize(raw_path)
+    feed_legs = {}
+    for tag, sub in (("zlib", "pack_z"), ("zf", "pack_zf")):
+        z_path = os.path.join(root, sub, "train.rxpack")
+        if not os.path.exists(z_path):
+            continue
+        ratio = raw_pack_bytes / max(os.path.getsize(z_path), 1)
+        feed_legs[tag] = {"ratio": ratio,
+                          "assemble_s": _assemble_rate(PackStore(z_path))}
+    from rxtpu.data.pipeline import ByteStore
+
+    store_j = ByteStore(idx, root, preload=True)
+    total_jpeg_bytes = sum(
+        sum(len(b) for b in bufs) for bufs in store_j._cache.values())
+    feed_legs["jpeg"] = {
+        # raw pack and the jpeg cache cover the same view set, so the
+        # byte ratio is directly comparable to the pack ratios
+        "ratio": raw_pack_bytes / max(total_jpeg_bytes, 1),
+        "assemble_s": _assemble_rate(store_j),
+    }
 
     storage_ram = _ram_backed(root)
-    storage_mbps = _storage_cold_mbps(
-        root, chunk=hb["images"].nbytes // max(global_batch, 1))
+    # the cold-storage probe shares a dev-VM virtio disk with other
+    # tenants and swings several x run-to-run (213..1080 MB/s observed);
+    # take the median of 3 trials and publish the spread
+    storage_trials = sorted(
+        _storage_cold_mbps(
+            root, chunk=hb["images"].nbytes // max(global_batch, 1))
+        for _ in range(3))
+    storage_mbps = storage_trials[1]
 
     it = put(batches())
     # warmup: compile + relay warmup out of the measurement window
@@ -559,15 +604,106 @@ def run_pipeline_bench(backbone: str, batch: int, steps: int, crop: int, src: in
         "input_stall_pct": 100.0 * timer.stall_fraction,
         "h2d_MBps": h2d_mbps,
         "host_assemble_ms": 1000 * assemble_s,
-        "host_assemble_zlib_ms": 1000 * assemble_z_s,
-        "pack_zlib_ratio": pack_zlib_ratio,
+        **{f"host_assemble_{t}_ms": 1000 * leg["assemble_s"]
+           for t, leg in feed_legs.items()},
+        **{f"pack_{t}_ratio": leg["ratio"] for t, leg in feed_legs.items()},
         "storage_MBps_cold": storage_mbps,
+        "storage_MBps_cold_trials": [round(x, 1) for x in storage_trials],
         # tmpfs/ramfs cache => the "cold" probe measured RAM, not a disk;
         # the stall-at-measured-storage projection is suppressed then
         "storage_cold_ram_backed": storage_ram,
         "batch_MB": int(hb["images"].nbytes) / 1e6,
         "pipeline_batch": global_batch,
     }
+
+
+def _project_stalls(r: dict, bench_batch: int) -> None:
+    """Production-host input-stall projections per feed format.
+
+    The BASELINE <2% stall target cannot be measured end-to-end on this
+    dev rig (1 CPU core, a ~100 MB/s remote-relay H2D link, and a shared
+    virtio disk), so the bench publishes a measurement-grounded model per
+    feed format instead. The threaded prefetch overlaps storage reads,
+    host assembly and H2D with the device step, so the exposed wait is
+    ``max(0, feed - step)`` with ``feed = max(cpu, storage, pcie)``:
+
+    - ``cpu(cores) = serial + pool / (cores * eff)``. The raw-pack
+      assembly time (measured ``host_assemble_ms`` — python batch walk +
+      memcpy out of the memmap) is kept as a fully SERIAL floor, which is
+      conservative (it is memory-bound and the pool could absorb it too).
+      The decode/inflate delta over that floor is the work the native
+      thread pool hands out per view — embarrassingly parallel; ``eff``
+      derates linear scaling for memory-bandwidth sharing. This box has
+      ONE core, so only the single-thread rate is measurable here;
+      ``dev/feed_scaling.py`` documents the scaling model and measures
+      the per-view costs it is built from.
+    - ``storage = compressed batch bytes / measured cold MB/s`` (median
+      of 3 fadvise-evicted, record-sized random-read trials).
+    - ``pcie = raw batch bytes / 8 GB/s`` (production hosts feed over
+      PCIe, not this rig's relay).
+
+    Reference host: ``RXTPU_PROD_CORES`` (default 14) cores feeding each
+    chip — half of the 28 vCPU/chip a ct5lp-hightpu-8t (224 vCPU, 8
+    chips) exposes, so the default undersells production by 2x.
+
+    Emits, per format f in {raw "", zlib, zf (PNG-filtered zlib), jpeg}:
+    ``storage_MBps_required[_f]``, ``projected_stall_pct_production[_f]``
+    (at the reference cores + measured storage), ``min_cores_for_2pct
+    [_f]`` and ``min_storage_MBps_for_2pct[_f]`` (the <2% envelope).
+    """
+    prod_cores = int(os.environ.get("RXTPU_PROD_CORES", "14"))
+    pool_eff = float(os.environ.get("RXTPU_PROD_POOL_EFF", "0.9"))
+    bscale = bench_batch / max(r["pipeline_batch"], 1)
+    serial_s = bscale * r["host_assemble_ms"] / 1000.0
+    batch_mb = bscale * r["batch_MB"]
+    step_s = r["step_time_ms"] / 1000.0
+    # <2% stall <=> exposed/(exposed+step) <= 0.02 <=> feed <= limit
+    limit_s = step_s * (1.0 + 0.02 / 0.98)
+    pcie_s = batch_mb * 1e6 / 8e9
+    storage = (r["storage_MBps_cold"]
+               if r.get("storage_MBps_cold")
+               and not r.get("storage_cold_ram_backed") else None)
+    r["prod_cores"] = prod_cores
+    r["prod_pool_eff"] = pool_eff
+
+    def stall_pct(feed_s: float) -> float:
+        exposed = max(0.0, feed_s - step_s)
+        return 100.0 * exposed / (exposed + step_s)
+
+    for tag in ("", "zlib", "zf", "jpeg"):
+        suffix = f"_{tag}" if tag else ""
+        if tag:
+            ratio = r.get(f"pack_{tag}_ratio")
+            assemble_key = f"host_assemble_{tag}_ms"
+            if not ratio or assemble_key not in r:
+                continue
+            total_s = bscale * r[assemble_key] / 1000.0
+            bytes_mb = batch_mb / ratio
+        else:
+            total_s = serial_s
+            bytes_mb = batch_mb
+        pool_s = max(0.0, total_s - serial_s)
+
+        def cpu_s(cores: int) -> float:
+            return serial_s + pool_s / max(cores * pool_eff, 1e-9)
+
+        r[f"storage_MBps_required{suffix}"] = bytes_mb / step_s
+        if storage:
+            feed_1core = max(total_s, bytes_mb / storage, pcie_s)
+            r[f"projected_stall_pct_at_measured_storage{suffix}"] = (
+                stall_pct(feed_1core))
+            feed_prod = max(cpu_s(prod_cores), bytes_mb / storage, pcie_s)
+            r[f"projected_stall_pct_production{suffix}"] = stall_pct(feed_prod)
+        # <2% envelope: cores bound (storage unconstrained) ...
+        if serial_s >= limit_s or pcie_s >= limit_s:
+            r[f"min_cores_for_2pct{suffix}"] = None  # serial/PCIe floor alone busts 2%
+        else:
+            import math
+
+            need = pool_s / (pool_eff * (limit_s - serial_s))
+            r[f"min_cores_for_2pct{suffix}"] = max(1, math.ceil(need))
+        # ... and the storage bound (cores unconstrained)
+        r[f"min_storage_MBps_for_2pct{suffix}"] = bytes_mb / limit_s
 
 
 def main():
@@ -639,55 +775,19 @@ def main():
                 args.backbone, min(args.batch, 16), args.pipeline_steps,
                 args.crop, args.src
             ))
-            # stall on a production host, where H2D is PCIe (>=8 GB/s) and
-            # not this dev rig's ~30 MB/s remote relay: storage reads,
-            # assembly, and transfer overlap the device step via the
-            # threaded prefetch, so the exposed wait is
-            # max(0, feed_time - resident_step_time) with
-            # feed_time = max(warm assembly, cold storage read of the
-            # batch's bytes, PCIe transfer) — the cold storage term is
-            # measured (fadvise-evicted scratch file, record-sized random
-            # reads), not assumed from a page-cache-warm pack.
-            # the pipeline leg runs at bs<=16 while the resident step leg
-            # runs at --batch; scale the feed-side quantities (assembly
-            # time and bytes are linear in samples — per-record decode and
-            # copies) to the resident batch before comparing them against
-            # the resident step time
-            bscale = bench_batch / max(r["pipeline_batch"], 1)
-            assemble_s = bscale * r["host_assemble_ms"] / 1000.0
-            batch_mb = bscale * r["batch_MB"]
-            feed_s = max(assemble_s, batch_mb * 1e6 / 8e9)
+            # production-host stall projections per feed format — see
+            # _project_stalls. The pipeline leg runs at bs<=16 while the
+            # resident step runs at --batch; feed-side quantities scale
+            # linearly with samples (per-record decode/copies) and are
+            # rescaled inside.
+            feed_s = max(bench_batch / max(r["pipeline_batch"], 1)
+                         * r["host_assemble_ms"] / 1000.0,
+                         bench_batch / max(r["pipeline_batch"], 1)
+                         * r["batch_MB"] * 1e6 / 8e9)
             step_s = r["step_time_ms"] / 1000.0
             exposed = max(0.0, feed_s - step_s)
             r["projected_stall_pct_pcie"] = 100.0 * exposed / (exposed + step_s)
-            # storage reality check: a zero-stall feed must stream
-            # batch_MB per step from disk once the dataset exceeds page
-            # cache. storage_MBps_required states that demand;
-            # projected_stall_pct_at_measured_storage evaluates it
-            # against THIS machine's measured cold-cache rate (a dev-VM
-            # virtio disk — production v5e hosts feed from NVMe at
-            # multi-GB/s, which the _required figure shows is plenty).
-            r["storage_MBps_required"] = batch_mb / step_s
-            if r.get("storage_MBps_cold") and not r.get("storage_cold_ram_backed"):
-                feed_cold = max(feed_s, batch_mb / r["storage_MBps_cold"])
-                exp_c = max(0.0, feed_cold - step_s)
-                r["projected_stall_pct_at_measured_storage"] = (
-                    100.0 * exp_c / (exp_c + step_s))
-            # compressed-pack alternative: the zlib rxpack divides the
-            # storage demand by its measured ratio at the cost of the
-            # measured inflate-side assembly time (native pool; scales
-            # with host cores, this box has 1)
-            if r.get("pack_zlib_ratio"):
-                batch_z_mb = batch_mb / r["pack_zlib_ratio"]
-                assemble_z_s = bscale * r["host_assemble_zlib_ms"] / 1000.0
-                feed_z = max(assemble_z_s, batch_z_mb * 1e6 / 8e9)
-                r["storage_MBps_required_zlib"] = batch_z_mb / step_s
-                if (r.get("storage_MBps_cold")
-                        and not r.get("storage_cold_ram_backed")):
-                    feed_cz = max(feed_z, batch_z_mb / r["storage_MBps_cold"])
-                    exp_cz = max(0.0, feed_cz - step_s)
-                    r["projected_stall_pct_at_measured_storage_zlib"] = (
-                        100.0 * exp_cz / (exp_cz + step_s))
+            _project_stalls(r, bench_batch)
         except Exception:
             import traceback
 

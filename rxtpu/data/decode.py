@@ -105,6 +105,18 @@ def get_native_lib(rebuild: bool = False) -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
         ]
+        lib.rxtpu_deflate_filtered_batch.restype = ctypes.c_int
+        lib.rxtpu_deflate_filtered_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.rxtpu_inflate_unfilter_batch.restype = ctypes.c_int
+        lib.rxtpu_inflate_unfilter_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
     except Exception:
@@ -236,6 +248,180 @@ def inflate_batch(
                 failures += 1
             else:
                 out[i] = np.frombuffer(raw, dtype=np.uint8)
+    if strict and failures:
+        raise ValueError(f"{failures}/{n} records failed to decompress")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PNG-style adaptive row pre-filter (compressed-rxpack "filter": "png").
+# Raw microscopy planes are spatially smooth; predicting each pixel from its
+# raw left/up/up-left neighbors (per-row best of none/sub/up/avg/paeth by the
+# libpng min-|residual| heuristic) leaves near-zero residuals that deflate
+# 2-4x where the unfiltered plane manages ~1.3x. The numpy implementations
+# below are the portable fallback AND the test oracle for decoder.cpp's
+# filter_plane/unfilter_plane.
+# ---------------------------------------------------------------------------
+
+def filter_plane_py(plane: np.ndarray) -> np.ndarray:
+    """uint8 [H, W] -> filtered uint8 [H, W+1] (filter id + residual row)."""
+    h, w = plane.shape
+    p = plane.astype(np.int32)
+    left = np.zeros_like(p)
+    left[:, 1:] = p[:, :-1]
+    up = np.zeros_like(p)
+    up[1:, :] = p[:-1, :]
+    upleft = np.zeros_like(p)
+    upleft[1:, 1:] = p[:-1, :-1]
+    pa = np.abs(up - upleft)
+    pb = np.abs(left - upleft)
+    pc = np.abs(left + up - 2 * upleft)
+    paeth = np.where((pa <= pb) & (pa <= pc), left,
+                     np.where(pb <= pc, up, upleft))
+    cand = np.stack([
+        p,
+        p - left,
+        p - up,
+        p - ((left + up) >> 1),
+        p - paeth,
+    ]).astype(np.uint8)
+    cost = np.abs(cand.astype(np.int8).astype(np.int32)).sum(axis=2)  # [5, H]
+    choice = cost.argmin(axis=0)
+    out = np.empty((h, w + 1), np.uint8)
+    out[:, 0] = choice
+    out[:, 1:] = cand[choice, np.arange(h)]
+    return out
+
+
+def unfilter_plane_py(filt: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`filter_plane_py`: uint8 [H, W+1] -> [H, W].
+
+    Raises ValueError on a corrupt filter id (matches the native path's
+    fail-loud contract).
+    """
+    h = filt.shape[0]
+    w = filt.shape[1] - 1
+    out = np.empty((h, w), np.uint8)
+    for y in range(h):
+        ft = int(filt[y, 0])
+        row = filt[y, 1:].astype(np.int32)
+        above = out[y - 1].astype(np.int32) if y else np.zeros(w, np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # sub: recon = running mod-256 cumsum
+            cur = np.cumsum(row) & 0xFF
+        elif ft == 2:
+            cur = (row + above) & 0xFF
+        elif ft in (3, 4):  # left-dependent recurrences: scalar fallback
+            cur = np.empty(w, np.int32)
+            a = c = 0
+            for x in range(w):
+                b = int(above[x])
+                if ft == 3:
+                    a = (int(row[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    a = (int(row[x]) + pred) & 0xFF
+                    c = b
+                cur[x] = a
+        else:
+            raise ValueError(f"corrupt filter id {ft} at row {y}")
+        out[y] = cur
+    return out
+
+
+def deflate_filtered_batch(
+    views: np.ndarray,
+    level: int = 6,
+    use_filter: bool = True,
+    nthreads: int = 0,
+    use_native: bool = True,
+) -> List[bytes]:
+    """Pre-filter (optionally) + zlib-compress uint8 views [N, C, H, W].
+
+    Returns one compressed byte string per view. The native path runs
+    filter+deflate per view inside the C++ thread pool; the fallback uses
+    :func:`filter_plane_py` + ``zlib.compress``. Raises on any failed
+    compress (a truncated blob baked into a pack would poison every later
+    read).
+    """
+    n, c, h, w = views.shape
+    views = np.ascontiguousarray(views)
+    lib = get_native_lib() if use_native else None
+    if lib is not None:
+        src_bytes = c * h * (w + 1) if use_filter else c * h * w
+        cap = src_bytes + src_bytes // 1000 + 128  # >= zlib compressBound
+        out = np.empty((n, cap), np.uint8)
+        out_lengths = np.zeros(n, np.int64)
+        failures = lib.rxtpu_deflate_filtered_batch(
+            views.ctypes.data, n, c, h, w, level, int(use_filter),
+            out.ctypes.data, cap, out_lengths.ctypes.data, nthreads,
+        )
+        if failures:
+            raise ValueError(f"{failures}/{n} views failed to compress")
+        return [out[i, : out_lengths[i]].tobytes() for i in range(n)]
+    import zlib
+
+    blobs = []
+    for i in range(n):
+        if use_filter:
+            filtered = np.concatenate(
+                [filter_plane_py(views[i, p]).reshape(-1) for p in range(c)])
+            blobs.append(zlib.compress(filtered.tobytes(), level))
+        else:
+            blobs.append(zlib.compress(views[i].tobytes(), level))
+    return blobs
+
+
+def inflate_unfilter_batch(
+    data: np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    c: int,
+    h: int,
+    w: int,
+    nthreads: int = 0,
+    use_native: bool = True,
+    out: Optional[np.ndarray] = None,
+    strict: bool = False,
+) -> np.ndarray:
+    """Inflate + unfilter N filtered-zlib streams to uint8 [N, C, H, W].
+
+    The read side of the "png"-filtered compressed rxpack; same contract
+    as :func:`inflate_batch` (zero-fill or raise with ``strict=True``).
+    """
+    n = len(offsets)
+    if out is None:
+        out = np.empty((n, c, h, w), dtype=np.uint8)
+    if n == 0:
+        return out
+    data = np.ascontiguousarray(data)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    lib = get_native_lib() if use_native else None
+    if lib is not None:
+        failures = lib.rxtpu_inflate_unfilter_batch(
+            data.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
+            n, out.ctypes.data, c, h, w, nthreads,
+        )
+    else:
+        import zlib
+
+        filtered_bytes = c * h * (w + 1)
+        failures = 0
+        for i in range(n):
+            try:
+                raw = zlib.decompress(
+                    data[offsets[i]:offsets[i] + lengths[i]].tobytes())
+                if len(raw) != filtered_bytes:
+                    raise ValueError("bad inflated size")
+                filt = np.frombuffer(raw, np.uint8).reshape(c, h, w + 1)
+                for p in range(c):
+                    out[i, p] = unfilter_plane_py(filt[p])
+            except (zlib.error, ValueError):
+                out[i] = 0
+                failures += 1
     if strict and failures:
         raise ValueError(f"{failures}/{n} records failed to decompress")
     return out

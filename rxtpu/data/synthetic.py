@@ -24,6 +24,41 @@ def _well_name(i: int) -> str:
     return f"{_WELL_ROWS[1 + i // 12]}{3 + (i % 12):02d}"  # skip row B col 02 (controls)
 
 
+def cells_image(
+    rng: np.random.Generator, size: int, sirna: int, channel: int
+) -> np.ndarray:
+    """Fluorescence-microscopy-like plane: dark field + sparse Gaussian
+    cell blobs + low-amplitude sensor noise.
+
+    The default ``content="uniform"`` planes are 60-level i.i.d. noise —
+    ~5.9 bits/pixel of irreducible entropy, which no codec can compress
+    past ~1.35x and which is nothing like the RxRx1 content the reference
+    trains on (spatially smooth cellular structure over a near-black
+    background). Storage/compression measurements (the bench's pack-ratio
+    and stall projections) use this mode so they reflect the real
+    workload's compressibility; the class/channel signal the models fit
+    (mean level keyed by sirna+channel) is preserved.
+    """
+    base = 4.0 + (sirna * 23 + channel * 11) % 20
+    img = np.full((size, size), base, np.float32)
+    n = max(3, int(40 * (size / 512.0) ** 2))
+    for _ in range(n):
+        cy, cx = rng.uniform(0, size, 2)
+        sigma = rng.uniform(size / 64.0, size / 24.0)
+        amp = rng.uniform(30.0, 160.0)
+        r = int(3 * sigma)
+        y0, y1 = max(0, int(cy) - r), min(size, int(cy) + r + 1)
+        x0, x1 = max(0, int(cx) - r), min(size, int(cx) + r + 1)
+        if y0 >= y1 or x0 >= x1:
+            continue
+        ys = np.arange(y0, y1, dtype=np.float32) - cy
+        xs = np.arange(x0, x1, dtype=np.float32) - cx
+        g = np.exp(-(ys[:, None] ** 2 + xs[None, :] ** 2) / (2 * sigma**2))
+        img[y0:y1, x0:x1] += amp * g
+    img += rng.normal(0.0, 2.0, img.shape).astype(np.float32)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def make_synthetic_dataset(
     root: str,
     experiments: Sequence[str] = ("HUVEC-01", "U2OS-01"),
@@ -35,6 +70,7 @@ def make_synthetic_dataset(
     seed: int = 0,
     splits: Sequence[str] = ("train", "test"),
     ext: str = "jpeg",
+    content: str = "uniform",
 ) -> dict:
     """Write a miniature dataset under ``root``.
 
@@ -52,12 +88,18 @@ def make_synthetic_dataset(
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
 
+    if content not in ("uniform", "cells"):
+        raise ValueError(f"unknown synthetic content {content!r}")
+
     def write_image(path: str, sirna: int, channel: int):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         # Deterministic-ish content keyed by label+channel so stats differ
         # per experiment/channel and models have signal to fit.
-        base = (sirna * 23 + channel * 11) % 180
-        img = rng.integers(0, 60, size=(img_size, img_size), dtype=np.uint8) + base
+        if content == "cells":
+            img = cells_image(rng, img_size, sirna, channel)
+        else:
+            base = (sirna * 23 + channel * 11) % 180
+            img = rng.integers(0, 60, size=(img_size, img_size), dtype=np.uint8) + base
         if ext == "jpeg":
             cv2.imwrite(path, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
         else:

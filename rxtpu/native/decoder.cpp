@@ -117,6 +117,119 @@ int encode_one(const uint8_t* src, int h, int w, int quality,
   return 0;
 }
 
+// ---- PNG-style row pre-filter for the compressed rxpack ------------------
+// Raw microscopy planes are spatially smooth, so a per-row predictive
+// filter (the PNG none/sub/up/avg/paeth family, adaptive per row by the
+// libpng minimum-sum-of-absolute-residuals heuristic) turns most bytes
+// into near-zero residuals that deflate 2-4x instead of ~1.3x. The
+// filtered layout per plane is h rows of [1 filter-id byte][w residual
+// bytes]; planes of a view are concatenated.
+
+inline int paeth_pred(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = p > a ? p - a : a - p;
+  int pb = p > b ? p - b : b - p;
+  int pc = p > c ? p - c : c - p;
+  if (pa <= pb && pa <= pc) return a;
+  if (pb <= pc) return b;
+  return c;
+}
+
+// Filter one plane (h x w) into dst[h*(w+1)], choosing per row among the
+// five PNG filters. Predictors reference the RAW previous row/column
+// (encode side has the originals), matching the decode recurrence.
+void filter_plane(const uint8_t* src, int64_t h, int64_t w, uint8_t* dst,
+                  std::vector<uint8_t>& cand) {
+  cand.resize(static_cast<size_t>(5) * w);
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* row = src + y * w;
+    const uint8_t* up = y ? src + (y - 1) * w : nullptr;
+    uint8_t* c[5];
+    for (int f = 0; f < 5; ++f) c[f] = cand.data() + static_cast<size_t>(f) * w;
+    for (int64_t x = 0; x < w; ++x) {
+      int v = row[x];
+      int a = x ? row[x - 1] : 0;
+      int b = up ? up[x] : 0;
+      int d = (x && up) ? up[x - 1] : 0;
+      c[0][x] = static_cast<uint8_t>(v);
+      c[1][x] = static_cast<uint8_t>(v - a);
+      c[2][x] = static_cast<uint8_t>(v - b);
+      c[3][x] = static_cast<uint8_t>(v - ((a + b) >> 1));
+      c[4][x] = static_cast<uint8_t>(v - paeth_pred(a, b, d));
+    }
+    int best = 0;
+    long best_cost = -1;
+    for (int f = 0; f < 5; ++f) {
+      long s = 0;
+      for (int64_t x = 0; x < w; ++x) {
+        int8_t sv = static_cast<int8_t>(c[f][x]);
+        s += sv < 0 ? -static_cast<long>(sv) : sv;
+      }
+      if (best_cost < 0 || s < best_cost) { best_cost = s; best = f; }
+    }
+    uint8_t* d = dst + y * (w + 1);
+    d[0] = static_cast<uint8_t>(best);
+    std::memcpy(d + 1, c[best], static_cast<size_t>(w));
+  }
+}
+
+// Reconstruct one plane from its filtered form; false on a corrupt
+// filter id. Sequential per row (the sub/avg/paeth recurrences carry
+// left-neighbor state), ~1 byte/ns scalar — parallelism comes from the
+// per-view thread pool, not SIMD.
+bool unfilter_plane(const uint8_t* f, int64_t h, int64_t w, uint8_t* dst) {
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* src = f + y * (w + 1);
+    int ft = src[0];
+    const uint8_t* row = src + 1;
+    uint8_t* out = dst + y * w;
+    const uint8_t* up = y ? dst + (y - 1) * w : nullptr;
+    switch (ft) {
+      case 0:
+        std::memcpy(out, row, static_cast<size_t>(w));
+        break;
+      case 1: {
+        int a = 0;
+        for (int64_t x = 0; x < w; ++x) {
+          a = (row[x] + a) & 0xFF;
+          out[x] = static_cast<uint8_t>(a);
+        }
+        break;
+      }
+      case 2:
+        if (up) {
+          for (int64_t x = 0; x < w; ++x)
+            out[x] = static_cast<uint8_t>(row[x] + up[x]);
+        } else {
+          std::memcpy(out, row, static_cast<size_t>(w));
+        }
+        break;
+      case 3: {
+        int a = 0;
+        for (int64_t x = 0; x < w; ++x) {
+          int b = up ? up[x] : 0;
+          a = (row[x] + ((a + b) >> 1)) & 0xFF;
+          out[x] = static_cast<uint8_t>(a);
+        }
+        break;
+      }
+      case 4: {
+        int a = 0, c = 0;
+        for (int64_t x = 0; x < w; ++x) {
+          int b = up ? up[x] : 0;
+          a = (row[x] + paeth_pred(a, b, c)) & 0xFF;
+          c = b;
+          out[x] = static_cast<uint8_t>(a);
+        }
+        break;
+      }
+      default:
+        return false;  // corrupt filter id
+    }
+  }
+  return true;
+}
+
 // Shared thread-pool policy: clamp nthreads, hand out items via an atomic
 // counter, count failures. fn(i, scratch) returns true on success;
 // `scratch` is a per-thread reusable byte buffer (file reads).
@@ -235,6 +348,64 @@ int rxtpu_inflate_batch(const uint8_t* data, const int64_t* offsets,
                         static_cast<uLong>(lengths[i]));
     bool ok = (rc == Z_OK && dst_len == item);
     if (!ok) std::memset(dst, 0, item);
+    return ok;
+  });
+}
+
+// Filter (optional) + deflate n raw views in[n, c, h, w] into per-slot
+// buffers out + i*cap; out_lengths[i] receives the compressed size (0 on
+// failure/overflow). use_filter selects the PNG-style per-row adaptive
+// pre-filter (see filter_plane). Returns number of failures.
+int rxtpu_deflate_filtered_batch(const uint8_t* in, int n, int64_t c,
+                                 int64_t h, int64_t w, int level,
+                                 int use_filter, uint8_t* out, int64_t cap,
+                                 int64_t* out_lengths, int nthreads) {
+  const size_t view = static_cast<size_t>(c) * h * w;
+  const size_t filtered = static_cast<size_t>(c) * h * (w + 1);
+  return run_pool(n, nthreads, [&](int i, std::vector<uint8_t>& scratch) {
+    const uint8_t* src = in + view * i;
+    uLongf dst_len = static_cast<uLongf>(cap);
+    int rc;
+    if (use_filter) {
+      scratch.resize(filtered);
+      std::vector<uint8_t> cand;  // 5-row candidate workspace (tiny)
+      for (int64_t p = 0; p < c; ++p)
+        filter_plane(src + p * h * w, h, w,
+                     scratch.data() + static_cast<size_t>(p) * h * (w + 1),
+                     cand);
+      rc = compress2(out + static_cast<size_t>(cap) * i, &dst_len,
+                     scratch.data(), static_cast<uLong>(filtered), level);
+    } else {
+      rc = compress2(out + static_cast<size_t>(cap) * i, &dst_len, src,
+                     static_cast<uLong>(view), level);
+    }
+    bool ok = rc == Z_OK;
+    out_lengths[i] = ok ? static_cast<int64_t>(dst_len) : 0;
+    return ok;
+  });
+}
+
+// Inflate + unfilter n filtered-zlib streams (located in `data` by
+// `offsets`/`lengths`) into out[n, c, h, w]. The inverse of
+// rxtpu_deflate_filtered_batch(use_filter=1): each stream must inflate to
+// exactly c*h*(w+1) bytes. Failures zero-fill; returns the failure count.
+int rxtpu_inflate_unfilter_batch(const uint8_t* data, const int64_t* offsets,
+                                 const int64_t* lengths, int n, uint8_t* out,
+                                 int64_t c, int64_t h, int64_t w,
+                                 int nthreads) {
+  const size_t view = static_cast<size_t>(c) * h * w;
+  const size_t filtered = static_cast<size_t>(c) * h * (w + 1);
+  return run_pool(n, nthreads, [&](int i, std::vector<uint8_t>& scratch) {
+    uint8_t* dst = out + view * i;
+    scratch.resize(filtered);
+    uLongf dst_len = static_cast<uLongf>(filtered);
+    int rc = uncompress(scratch.data(), &dst_len, data + offsets[i],
+                        static_cast<uLong>(lengths[i]));
+    bool ok = (rc == Z_OK && dst_len == filtered);
+    for (int64_t p = 0; ok && p < c; ++p)
+      ok = unfilter_plane(scratch.data() + static_cast<size_t>(p) * h * (w + 1),
+                          h, w, dst + p * h * w);
+    if (!ok) std::memset(dst, 0, view);
     return ok;
   });
 }
