@@ -201,5 +201,24 @@ def _make_quantized_body(model, crop_size, transforms, average) -> Callable:
     def apply_fn(qvars, views):
         return qmodel.apply(qvars, views, train=False)
 
+    normalize_fn = None
+    if not transforms:
+        from rxtpu.ops import eval_batch_normalize
+
+        def normalize_fn(qvars, batch):
+            # quantize-at-source: the Pallas crop-normalize kernel emits
+            # int8 at the stem conv's calibrated in_scale in its single
+            # pass, so no bf16 view tensor (write+read) nor a standalone
+            # quantize kernel ever hits HBM. The bare-int8 QuantConv
+            # contract (models/quant.py) closes the loop: conv_init reads
+            # the SAME in_scale param this quantization used. TTA
+            # transforms keep the bf16 path (dihedral reverses are
+            # MXU-matmul ops, not int8-safe).
+            s = qvars["params"]["backbone"]["conv_init"]["in_scale"]
+            return eval_batch_normalize(
+                batch["images"], batch["mean"], batch["std"], crop_size,
+                quant_scale=s)
+
     return _make_predict_body(model, crop_size, transforms=transforms,
-                              average=average, apply_fn=apply_fn)
+                              average=average, apply_fn=apply_fn,
+                              normalize_fn=normalize_fn)

@@ -127,6 +127,12 @@ class QuantConv(nn.Module):
             # producer quantized with the SAME calibration entry this
             # conv's in_scale came from; use the scale it actually used
             xq, in_scale = x
+        elif x.dtype == jnp.int8:
+            # quantize-at-source contract: a bare int8 input was produced
+            # at THIS conv's calibrated in_scale (the Pallas crop-normalize
+            # kernel reads the same in_scale param from the tree —
+            # rxtpu/infer/quant._make_quantized_body)
+            xq = x
         else:
             inv = (1.0 / in_scale).astype(jnp.float32)
             xq = jnp.clip(

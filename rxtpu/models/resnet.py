@@ -203,7 +203,11 @@ class ResNet(nn.Module):
             pvars = self.variables["params"]
             qscales = [pvars[n]["Conv_0"]["in_scale"] for n in qnames]
 
-        x = x.astype(self.dtype)
+        if not (self.quantized and x.dtype == jnp.int8):
+            # int8 input = quantize-at-source views already at the stem
+            # conv's calibrated scale (quant.py QuantConv contract); a
+            # bf16 cast here would silently dequantize-by-identity
+            x = x.astype(self.dtype)
         if not self.stem_input:
             # 6-channel stem: 7x7/2 conv (models.py:18-27), 3x3/2 maxpool.
             if self.quantized:

@@ -30,6 +30,12 @@ def _crop_norm_kernel(scale_ref, bias_ref, in_ref, out_ref, *, offset: int, crop
     block = in_ref[0, offset : offset + crop, offset : offset + crop]
     # Mosaic has no direct uint8->float cast; hop through int32.
     x = block.astype(jnp.int32).astype(jnp.float32) * scale + bias
+    if out_ref.dtype == jnp.int8:
+        # quantize-at-source for the W8A8 forward: the caller folded the
+        # stem conv's calibrated 1/in_scale into scale/bias, so the
+        # symmetric-int8 rounding (rxtpu/models/quant.py semantics) is
+        # all that remains — the bf16 activation never exists
+        x = jnp.clip(jnp.round(x), -127.0, 127.0)
     out_ref[0, :, :] = x.astype(out_ref.dtype)
 
 
@@ -77,6 +83,7 @@ def eval_batch_normalize(
     crop_size: Optional[int] = 364,
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
+    quant_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Eval/test batch path through the Pallas kernel.
 
@@ -84,6 +91,12 @@ def eval_batch_normalize(
     ``rxtpu.ops.warp.augment_batch`` with train=False). ``crop_size=None``
     skips the crop (normalize only — the reference's TEST-mode transform,
     dataloader.py:128-139, which crops for train/val but not test).
+
+    ``quant_scale`` (scalar, traced ok): emit int8 views quantized at
+    that scale — symmetric round/clip, the exact quantization the W8A8
+    stem conv would apply (rxtpu/models/quant.py) — fused into this same
+    single pass. Kills the bf16 view write + read + separate quantize
+    kernel on the int8 predict path.
     """
     b, g, c, h, w = images.shape
     assert h == w, f"augment paths assume square sources, got {h}x{w}"
@@ -92,6 +105,11 @@ def eval_batch_normalize(
     planes = images.reshape(b * g * c, h, w)
     scale = (1.0 / (255.0 * std)).astype(jnp.float32)
     bias = (-mean / std).astype(jnp.float32)
+    if quant_scale is not None:
+        inv = 1.0 / quant_scale.astype(jnp.float32)
+        scale = scale * inv
+        bias = bias * inv
+        out_dtype = jnp.int8
     scale = jnp.repeat(scale[:, None, :], g, axis=1).reshape(-1)
     bias = jnp.repeat(bias[:, None, :], g, axis=1).reshape(-1)
     out = crop_normalize(planes, scale, bias, crop_size, out_dtype, interpret)

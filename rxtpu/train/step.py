@@ -283,6 +283,7 @@ def _make_predict_body(
     model, crop_size: Optional[int] = None, fold: bool = True,
     fused_stem: bool = False, transforms: Optional[Sequence[Callable]] = None,
     average: str = "probs", apply_fn: Optional[Callable] = None,
+    normalize_fn: Optional[Callable] = None,
 ) -> Callable:
     """Unjitted predict step body (shared by per-batch and scanned steps).
 
@@ -312,9 +313,14 @@ def _make_predict_body(
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         if fused_apply is not None:
             return jax.nn.softmax(fused_apply(state, batch), axis=-1)
-        views = eval_batch_normalize(
-            batch["images"], batch["mean"], batch["std"], crop_size
-        )
+        if normalize_fn is not None:
+            # caller-supplied view producer (e.g. the int8 quantize-at-
+            # source normalize, rxtpu/infer/quant._make_quantized_body)
+            views = normalize_fn(state, batch)
+        else:
+            views = eval_batch_normalize(
+                batch["images"], batch["mean"], batch["std"], crop_size
+            )
         ts = transforms or (lambda v: v,)
         acc = None
         for t in ts:

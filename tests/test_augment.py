@@ -64,6 +64,30 @@ def test_crop_normalize_against_numpy():
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_crop_normalize_quantize_at_source():
+    # int8 emission (W8A8 quantize-at-source): the kernel's single pass
+    # must equal quantize(bf16-normalize(x)) with the stem conv's
+    # symmetric round/clip semantics (rxtpu/models/quant.py).
+    images, mean, std = _batch()
+    qs = jnp.float32(0.0375)
+    got = eval_batch_normalize(
+        jnp.asarray(images), jnp.asarray(mean), jnp.asarray(std), CROP,
+        quant_scale=qs,
+    )
+    assert got.dtype == jnp.int8
+    ref = eval_batch_normalize(
+        jnp.asarray(images), jnp.asarray(mean), jnp.asarray(std), CROP,
+        out_dtype=jnp.float32,
+    )
+    want = np.clip(np.round(np.asarray(ref) / float(qs)), -127, 127)
+    # the fused path scales BEFORE rounding in f32 (no bf16 intermediate),
+    # so values landing exactly on .5 after the bf16 round-trip may differ
+    # by 1 code; everything else must match exactly
+    diff = np.abs(np.asarray(got, np.int32) - want.astype(np.int32))
+    assert (diff <= 1).all()
+    assert (diff == 0).mean() > 0.99
+
+
 def test_eval_params_are_identity_centercrop():
     angle, vflip, hflip, crop = sample_affine_params(
         jax.random.PRNGKey(0), 5, SRC, CROP, train=False
