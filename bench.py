@@ -836,10 +836,12 @@ def main():
             r["eval_ceiling_ips"] = 4034
             r["predict_full_ceiling_ips"] = 2087
             # int8 composition ceiling, epilogue dataflow == what the
-            # int8-resident forward achieves (dev/eval_ceiling.py --int8;
-            # OPTIMIZATION.md round-3 int8 section)
-            r["eval_int8_ceiling_ips"] = 6517
-            r["predict_full_int8_ceiling_ips"] = 3387
+            # int8-resident forward achieves (dev/eval_ceiling.py --int8
+            # --int8-dataflow epilogue; OPTIMIZATION.md). Round-4: the
+            # normalize write is int8 (quantize-at-source), lifting the
+            # ceilings from 6517/3387
+            r["eval_int8_ceiling_ips"] = 6558
+            r["predict_full_int8_ceiling_ips"] = 3410
 
     baseline = 5000.0  # BASELINE.json north star: >=5k 512^2x6ch images/s/chip
     detail = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in r.items()}

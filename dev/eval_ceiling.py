@@ -142,9 +142,11 @@ def main():
         # measured augment kernel floor (crop+normalize ride inside it)
         add("augment", 0.0, args.augment_ms_per_view * V / 1e3)
     else:
-        # input normalize: read uint8 src planes, write bf16 crop NHWC
+        # input normalize: read uint8 src planes, write crop NHWC — bf16,
+        # or int8 under quantize-at-source (the Pallas kernel emits the
+        # stem conv's quantized input directly, rxtpu/ops/pallas_norm.py)
         r = V * 6 * args.src * args.src
-        w = V * 6 * args.crop * args.crop * B
+        w = V * 6 * args.crop * args.crop * (1 if args.int8 else B)
         add("normalize", 0.0, (r + w) / args.bw)
 
     ops = conv_ops(args.crop)
