@@ -646,14 +646,25 @@ def _project_stalls(r: dict, bench_batch: int) -> None:
     Reference host: ``RXTPU_PROD_CORES`` (default 14) cores feeding each
     chip — half of the 28 vCPU/chip a ct5lp-hightpu-8t (224 vCPU, 8
     chips) exposes, so the default undersells production by 2x.
+    ``RXTPU_PROD_STORAGE_MBPS`` (default 1500) is the production storage
+    reference: the per-chip share of a 100 Gbps GCS/NFS ingest on an
+    8-chip host (12.5 GB/s / 8) — local NVMe does better. It exists
+    because this rig's shared virtio disk swings ~160..1650 MB/s with
+    tenant contention, so the *measured*-storage projection is honest
+    about this box but meaningless about production hardware.
 
     Emits, per format f in {raw "", zlib, zf (PNG-filtered zlib), jpeg}:
-    ``storage_MBps_required[_f]``, ``projected_stall_pct_production[_f]``
-    (at the reference cores + measured storage), ``min_cores_for_2pct
-    [_f]`` and ``min_storage_MBps_for_2pct[_f]`` (the <2% envelope).
+    ``storage_MBps_required[_f]``,
+    ``projected_stall_pct_at_measured_storage[_f]`` (1 core, this box's
+    disk), ``projected_stall_pct_production[_f]`` (reference cores,
+    this box's measured disk), ``projected_stall_pct_production_ref
+    [_f]`` (reference cores + reference storage — the production
+    claim), ``min_cores_for_2pct[_f]`` and ``min_storage_MBps_for_2pct
+    [_f]`` (the <2% envelope).
     """
     prod_cores = int(os.environ.get("RXTPU_PROD_CORES", "14"))
     pool_eff = float(os.environ.get("RXTPU_PROD_POOL_EFF", "0.9"))
+    prod_storage = float(os.environ.get("RXTPU_PROD_STORAGE_MBPS", "1500"))
     bscale = bench_batch / max(r["pipeline_batch"], 1)
     serial_s = bscale * r["host_assemble_ms"] / 1000.0
     batch_mb = bscale * r["batch_MB"]
@@ -666,6 +677,7 @@ def _project_stalls(r: dict, bench_batch: int) -> None:
                and not r.get("storage_cold_ram_backed") else None)
     r["prod_cores"] = prod_cores
     r["prod_pool_eff"] = pool_eff
+    r["prod_storage_MBps_ref"] = prod_storage
 
     def stall_pct(feed_s: float) -> float:
         exposed = max(0.0, feed_s - step_s)
@@ -695,6 +707,8 @@ def _project_stalls(r: dict, bench_batch: int) -> None:
                 stall_pct(feed_1core))
             feed_prod = max(cpu_s(prod_cores), bytes_mb / storage, pcie_s)
             r[f"projected_stall_pct_production{suffix}"] = stall_pct(feed_prod)
+        feed_ref = max(cpu_s(prod_cores), bytes_mb / prod_storage, pcie_s)
+        r[f"projected_stall_pct_production_ref{suffix}"] = stall_pct(feed_ref)
         # <2% envelope: cores bound (storage unconstrained) ...
         if serial_s >= limit_s or pcie_s >= limit_s:
             r[f"min_cores_for_2pct{suffix}"] = None  # serial/PCIe floor alone busts 2%
