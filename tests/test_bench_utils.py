@@ -38,3 +38,102 @@ def test_ram_backed_detection():
         assert bench._ram_backed("/dev/shm") is True
     # nonexistent paths resolve under the root mount and never raise
     assert bench._ram_backed("/nonexistent/x") is False
+
+
+# ---------------------------------------------------------------------------
+# _project_stalls: the <2%-stall envelope math behind the BASELINE claim
+# ---------------------------------------------------------------------------
+
+def _stall_record(**over):
+    """Round numbers chosen so the envelope closed forms are exact:
+    bscale=2, serial=50 ms, batch 100 MB raw / 50 MB zlib, step 100 ms,
+    limit = 100 * (1 + 0.02/0.98) ~= 102.04 ms."""
+    r = {
+        "pipeline_batch": 16, "host_assemble_ms": 25.0, "batch_MB": 50.0,
+        "step_time_ms": 100.0,
+        "storage_MBps_cold": 100000.0, "storage_cold_ram_backed": False,
+        "host_assemble_zlib_ms": 250.0, "pack_zlib_ratio": 2.0,
+    }
+    r.update(over)
+    return r
+
+
+def test_project_stalls_raw_format(monkeypatch):
+    bench = _load_bench()
+    monkeypatch.delenv("RXTPU_PROD_CORES", raising=False)
+    monkeypatch.delenv("RXTPU_PROD_POOL_EFF", raising=False)
+    monkeypatch.delenv("RXTPU_PROD_STORAGE_MBPS", raising=False)
+    r = _stall_record()
+    bench._project_stalls(r, 32)
+    # raw pack: 100 MB / 0.1 s step
+    assert r["storage_MBps_required"] == 1000.0
+    # assembly is all serial floor -> pool is empty -> 1 core suffices
+    assert r["min_cores_for_2pct"] == 1
+    np.testing.assert_allclose(
+        r["min_storage_MBps_for_2pct"], 100.0 / (0.1 * (1 + 0.02 / 0.98)))
+    # 50 ms serial + fast disk + 12.5 ms pcie all hide under the 100 ms step
+    assert r["projected_stall_pct_at_measured_storage"] == 0.0
+    assert r["projected_stall_pct_production"] == 0.0
+    assert r["projected_stall_pct_production_ref"] == 0.0
+
+
+def test_project_stalls_min_cores_envelope(monkeypatch):
+    """Feeding with exactly min_cores_for_2pct holds stall <= 2%; one
+    fewer core busts it (the envelope is the boundary it claims)."""
+    bench = _load_bench()
+    monkeypatch.delenv("RXTPU_PROD_POOL_EFF", raising=False)
+    monkeypatch.delenv("RXTPU_PROD_STORAGE_MBPS", raising=False)
+    base = _stall_record()
+    bench._project_stalls(dict(base), 32)  # warm: compute min cores
+    probe = dict(base)
+    bench._project_stalls(probe, 32)
+    n = probe["min_cores_for_2pct_zlib"]
+    assert n == 10  # pool 450 ms / (0.9 * (102.04 - 50) ms) = 9.6 -> 10
+
+    def stall_at(cores):
+        monkeypatch.setenv("RXTPU_PROD_CORES", str(cores))
+        rr = dict(base)
+        bench._project_stalls(rr, 32)
+        return rr["projected_stall_pct_production_zlib"]
+
+    assert stall_at(n) <= 2.0
+    assert stall_at(n - 1) > 2.0
+
+
+def test_project_stalls_min_storage_envelope(monkeypatch):
+    """A disk at exactly min_storage_MBps_for_2pct projects exactly 2%."""
+    bench = _load_bench()
+    monkeypatch.delenv("RXTPU_PROD_CORES", raising=False)
+    monkeypatch.delenv("RXTPU_PROD_POOL_EFF", raising=False)
+    probe = _stall_record()
+    bench._project_stalls(probe, 32)
+    edge = probe["min_storage_MBps_for_2pct"]
+    r = _stall_record(storage_MBps_cold=edge)
+    bench._project_stalls(r, 32)
+    np.testing.assert_allclose(r["projected_stall_pct_production"], 2.0,
+                               rtol=1e-9)
+
+
+def test_project_stalls_serial_floor_busts(monkeypatch):
+    """When the serial assembly floor alone exceeds the 2% budget, no
+    core count helps: min_cores must be None, not a misleading number."""
+    bench = _load_bench()
+    r = _stall_record(host_assemble_ms=60.0)  # serial 120 ms > 102 ms limit
+    bench._project_stalls(r, 32)
+    assert r["min_cores_for_2pct"] is None
+    assert r["projected_stall_pct_production"] > 2.0
+
+
+def test_project_stalls_ram_backed_skips_measured(monkeypatch):
+    """tmpfs-backed probes produce no measured-storage projection (the
+    number would be memory bandwidth), but the reference-host projection
+    must still be published."""
+    bench = _load_bench()
+    monkeypatch.delenv("RXTPU_PROD_STORAGE_MBPS", raising=False)
+    r = _stall_record(storage_cold_ram_backed=True)
+    bench._project_stalls(r, 32)
+    assert "projected_stall_pct_at_measured_storage" not in r
+    assert "projected_stall_pct_production" not in r
+    assert r["prod_storage_MBps_ref"] == 1500.0
+    assert "projected_stall_pct_production_ref" in r
+    assert "projected_stall_pct_production_ref_zlib" in r
