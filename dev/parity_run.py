@@ -41,7 +41,11 @@ sys.path.insert(0, os.path.join(
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# dev/augment_race.py reuses this module's data/race helpers but runs on
+# the TPU (the shear path's native target); it sets PARITY_DEVICE=tpu
+# before importing us. Default stays CPU: the torch race leg is CPU-only.
+if os.environ.get("PARITY_DEVICE", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import cv2  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -277,11 +281,11 @@ def run_torch(params, batch_stats, epochs_data, val_data, test_data,
 # ---------------------------------------------------------------------------
 
 def run_rxtpu(cfg, model, state, epochs_data, val_data, test_data, n_epochs,
-              seed=0):
+              seed=0, augment="gather"):
     from rxtpu.train.step import (
         make_eval_step, make_predict_step, make_train_step)
 
-    tstep = make_train_step(model, CROP, donate=False, augment="gather")
+    tstep = make_train_step(model, CROP, donate=False, augment=augment)
     estep = make_eval_step(model, CROP)
     pstep = make_predict_step(model, None)
     key = jax.random.PRNGKey(seed)
