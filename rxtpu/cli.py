@@ -480,7 +480,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         if not quantizable(model):
             raise SystemExit(
                 "--quantize int8 supports resnet backbones with the mlp "
-                f"head, got {cfg.model.backbone}/{cfg.model.head}")
+                f"head and densenet121, got "
+                f"{cfg.model.backbone}/{cfg.model.head}")
         if args.calib_batches < 1:
             raise SystemExit("--calib-batches must be >= 1")
 

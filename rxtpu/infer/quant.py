@@ -37,8 +37,15 @@ from rxtpu.infer.fold import fold_variables, foldable
 
 
 def quantizable(model) -> bool:
-    """int8 inference builds on BN folding: resnet backbone + mlp head."""
-    return foldable(model)
+    """resnet int8 builds on BN folding (resnet backbone + mlp head);
+    densenet121 int8 keeps its pre-activation BNs as explicit affines
+    (models/densenet.py QuantPreNorm) so it needs no folding."""
+    return foldable(model) or _is_densenet(model)
+
+
+def _is_densenet(model) -> bool:
+    return (str(getattr(model, "backbone", "")) == "densenet121"
+            and getattr(model, "head", None) == "mlp")
 
 
 def calibrate(
@@ -57,19 +64,31 @@ def calibrate(
 
     if not quantizable(model):
         raise ValueError(
-            "int8 inference supports resnet backbones with the mlp head, "
-            f"got {model.backbone!r}/{model.head!r}")
-    obs_model = model.clone(folded=True, quant_observe=True,
-                            fuse_blocks=False, stem_input=False)
+            "int8 inference supports resnet backbones with the mlp head "
+            f"and densenet121, got {model.backbone!r}/{model.head!r}")
+    if _is_densenet(model):
+        obs_model = model.clone(quant_observe=True)
 
-    @jax.jit
-    def observe(state, batch):
-        views = eval_batch_normalize(
-            batch["images"], batch["mean"], batch["std"], crop_size)
-        fvars = fold_variables(state.params, state.batch_stats)
-        _, aux = obs_model.apply(fvars, views, train=False,
-                                 mutable=["qstats"])
-        return aux["qstats"]
+        @jax.jit
+        def observe(state, batch):
+            views = eval_batch_normalize(
+                batch["images"], batch["mean"], batch["std"], crop_size)
+            _, aux = obs_model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                views, train=False, mutable=["qstats"])
+            return aux["qstats"]
+    else:
+        obs_model = model.clone(folded=True, quant_observe=True,
+                                fuse_blocks=False, stem_input=False)
+
+        @jax.jit
+        def observe(state, batch):
+            views = eval_batch_normalize(
+                batch["images"], batch["mean"], batch["std"], crop_size)
+            fvars = fold_variables(state.params, state.batch_stats)
+            _, aux = obs_model.apply(fvars, views, train=False,
+                                     mutable=["qstats"])
+            return aux["qstats"]
 
     stats = None
     n = 0
@@ -113,6 +132,82 @@ def _quantize_backbone(p: Dict[str, Any], s: Dict[str, Any]):
     return out
 
 
+def _qconv_entry(kernel, in_absmax, out_absmax=None, mul=None, add=None):
+    """One QuantConv param dict. ``mul``/``add`` fold a FOLLOWING eval-BN
+    into the conv (kernel * mul per out-channel before quantization —
+    post-conv BN folds exactly; the bias carries the shift)."""
+    kf = kernel.astype(jnp.float32)
+    if mul is not None:
+        kf = kf * mul
+    w_scale = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0,
+                          1e-12)
+    d = {
+        "kernel_q": jnp.clip(
+            jnp.round(kf / w_scale), -127, 127).astype(jnp.int8),
+        "w_scale": w_scale,
+        "bias": (add.astype(jnp.float32) if add is not None
+                 else jnp.zeros((kernel.shape[-1],), jnp.float32)),
+        "in_scale": jnp.maximum(
+            jnp.asarray(in_absmax, jnp.float32).reshape(()) / 127.0, 1e-12),
+    }
+    if out_absmax is not None:
+        d["out_scale"] = jnp.maximum(
+            jnp.asarray(out_absmax, jnp.float32).reshape(()) / 127.0, 1e-12)
+    return d
+
+
+def quantize_densenet_backbone(params: Dict[str, Any],
+                               batch_stats: Dict[str, Any],
+                               qstats: Dict[str, Any]) -> Dict[str, Any]:
+    """densenet121 int8 tree (models/densenet.py DenseNet._quantized).
+
+    Pre-activation BNs become explicit affine params (``mul``/``add``
+    under the eval BN's scope name, consumed by QuantPreNorm); the two
+    post-conv BNs — bn_init after conv_init, and each layer's BN2 after
+    Conv_0 — fold into those convs' dequant scale/bias. Segment scales:
+    conv_init/Conv_1/transition Conv_0 carry an ``out_scale`` from the
+    observed range of the tensor actually stored in the int8 concat
+    state (stem post-relu, Conv_1 raw output, post-avg-pool)."""
+    from rxtpu.infer.fold import _affine
+
+    out: Dict[str, Any] = {}
+    mul0, add0 = _affine(params["bn_init"], batch_stats["bn_init"])
+    out["conv_init"] = _qconv_entry(
+        params["conv_init"]["kernel"], qstats["conv_init"]["in_absmax"],
+        out_absmax=qstats["stem_absmax"], mul=mul0, add=add0)
+    for scope, sub in params.items():
+        qs = qstats.get(scope, {})
+        if scope.startswith("block"):
+            mul1, add1 = _affine(sub["BatchNorm_0"],
+                                 batch_stats[scope]["BatchNorm_0"])
+            mul2, add2 = _affine(sub["BatchNorm_1"],
+                                 batch_stats[scope]["BatchNorm_1"])
+            out[scope] = {
+                "BatchNorm_0": {"mul": mul1, "add": add1},
+                # Conv_0's requantize target IS Conv_1's input range
+                "Conv_0": _qconv_entry(
+                    sub["Conv_0"]["kernel"], qs["Conv_0"]["in_absmax"],
+                    out_absmax=qs["Conv_1"]["in_absmax"],
+                    mul=mul2, add=add2),
+                "Conv_1": _qconv_entry(
+                    sub["Conv_1"]["kernel"], qs["Conv_1"]["in_absmax"],
+                    out_absmax=qs["Conv_1"]["out_absmax"]),
+            }
+        elif scope.startswith("transition"):
+            mul1, add1 = _affine(sub["BatchNorm_0"],
+                                 batch_stats[scope]["BatchNorm_0"])
+            out[scope] = {
+                "BatchNorm_0": {"mul": mul1, "add": add1},
+                "Conv_0": _qconv_entry(
+                    sub["Conv_0"]["kernel"], qs["Conv_0"]["in_absmax"],
+                    out_absmax=qstats[f"{scope}_absmax"]),
+            }
+        elif scope == "bn_final":
+            mul, add = _affine(sub, batch_stats["bn_final"])
+            out["bn_final"] = {"mul": mul, "add": add}
+    return out
+
+
 def quantize_variables(folded_vars: Dict[str, Any],
                        qstats: Dict[str, Any]) -> Dict[str, Any]:
     """Folded weight tree + calibration stats -> the tree a
@@ -136,8 +231,20 @@ def prepare_quantized(model, state, qstats: Dict[str, Any]) -> Dict[str, Any]:
     """
     if not quantizable(model):
         raise ValueError(
-            "int8 inference supports resnet backbones with the mlp head, "
-            f"got {model.backbone!r}/{model.head!r}")
+            "int8 inference supports resnet backbones with the mlp head "
+            f"and densenet121, got {model.backbone!r}/{model.head!r}")
+    if _is_densenet(model):
+        # the head is NOT folded (densenet has no BN-fold path), so its
+        # batch_stats ride along for the eval-mode head BNs
+        return jax.jit(lambda s, q: {
+            "params": {
+                "backbone": quantize_densenet_backbone(
+                    s.params["backbone"], s.batch_stats["backbone"],
+                    q["backbone"]),
+                "head": s.params["head"],
+            },
+            "batch_stats": {"head": s.batch_stats["head"]},
+        })(state, qstats)
     return jax.jit(
         lambda s, q: quantize_variables(
             fold_variables(s.params, s.batch_stats), q)
@@ -193,10 +300,13 @@ def _make_quantized_body(model, crop_size, transforms, average) -> Callable:
 
     if not quantizable(model):
         raise ValueError(
-            "int8 inference supports resnet backbones with the mlp head, "
-            f"got {model.backbone!r}/{model.head!r}")
-    qmodel = model.clone(folded=True, quantized=True, fuse_blocks=False,
-                         stem_input=False)
+            "int8 inference supports resnet backbones with the mlp head "
+            f"and densenet121, got {model.backbone!r}/{model.head!r}")
+    if _is_densenet(model):
+        qmodel = model.clone(quantized=True)
+    else:
+        qmodel = model.clone(folded=True, quantized=True, fuse_blocks=False,
+                             stem_input=False)
 
     def apply_fn(qvars, views):
         return qmodel.apply(qvars, views, train=False)

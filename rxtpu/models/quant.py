@@ -163,6 +163,54 @@ class QuantConv(nn.Module):
         return out.astype(self.dtype)
 
 
+def quantize_to(x, scale):
+    """Quantize a float array to an ``(int8, scale)`` pair at a known
+    calibrated scale (symmetric, zero-point-free)."""
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * (1.0 / scale).astype(jnp.float32)),
+        -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+class QuantPreNorm(nn.Module):
+    """Pre-activation BN + relu [+ requantize] on an int8 concat state.
+
+    DenseNet's BN PRECEDES its convs (densenet.py:26-31), so the resnet
+    trick of folding BN into the conv weights is unavailable (the conv's
+    zero padding must stay zero AFTER normalization — fold.py:22-23).
+    Instead the eval-mode BN is kept as an explicit per-channel affine on
+    the int8 state: with per-channel dequant scales ``svec`` (each concat
+    segment was quantized per-tensor, so its scale is constant over its
+    channels) the chain is
+
+      z = relu(q * (svec * mul) + add);  zq = clip(round(z / out_scale))
+
+    — a single-consumer elementwise chain reading int8 and writing int8
+    that XLA fuses into one kernel. ``mul``/``add`` are the precomputed
+    eval-BN affine (rxtpu.infer.quant quantize_densenet_backbone); the
+    parameter scope reuses the eval model's BN name so the tree stays
+    navigable. ``out_scale=None`` returns the f32 activations instead
+    (the final pre-head norm)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, out_scale=None):
+        q, svec = x
+        mul = self.param(
+            "mul", lambda _k, s: jnp.ones(s, jnp.float32), (self.features,))
+        add = self.param(
+            "add", lambda _k, s: jnp.zeros(s, jnp.float32), (self.features,))
+        z = q.astype(jnp.float32) * (svec * mul) + add
+        z = jnp.maximum(z, 0.0)
+        if out_scale is None:
+            return z
+        zq = jnp.clip(
+            jnp.round(z * (1.0 / out_scale).astype(jnp.float32)),
+            -127, 127).astype(jnp.int8)
+        return zq, out_scale
+
+
 def quant_max_pool(x, window=(3, 3), strides=(2, 2),
                    padding=((1, 1), (1, 1))):
     """Max pool on an ``(int8, scale)`` pair. Quantization is monotone, so

@@ -342,7 +342,5 @@ def make_backbone(arch: str, **kw):
             raise ValueError("densenet121 does not support BN folding")
         if kw.pop("stem_input", False):  # fused stem is ResNet-only
             raise ValueError("densenet121 does not support the fused stem")
-        if kw.pop("quantized", False) or kw.pop("quant_observe", False):
-            raise ValueError("densenet121 does not support int8 inference")
         return densenet121(**kw)
     raise ValueError(f"unknown backbone {arch!r}")

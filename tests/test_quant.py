@@ -24,9 +24,9 @@ from rxtpu.train import build_model, create_train_state
 from rxtpu.train.step import make_predict_step
 
 
-def _cfg(backbone="resnet18", head="mlp", nb_classes=7):
+def _cfg(backbone="resnet18", head="mlp", nb_classes=7, crop=24, src=32):
     return Config(
-        data=DataConfig(path_data="x", crop_size=24, src_size=32),
+        data=DataConfig(path_data="x", crop_size=crop, src_size=src),
         model=ModelConfig(backbone=backbone, nb_classes=nb_classes,
                           pretrained=False, size_features=16,
                           compute_dtype="float32", head=head),
@@ -34,9 +34,9 @@ def _cfg(backbone="resnet18", head="mlp", nb_classes=7):
     )
 
 
-def _batch(rng, n=4):
+def _batch(rng, n=4, src=32):
     return {
-        "images": jnp.asarray(rng.integers(0, 256, (n, 6, 6, 32, 32),
+        "images": jnp.asarray(rng.integers(0, 256, (n, 6, 6, src, src),
                                            np.uint8)),
         "mean": jnp.full((n, 6), 0.4), "std": jnp.full((n, 6), 0.2),
     }
@@ -152,13 +152,58 @@ def test_scanned_quantized_step_parity():
         np.testing.assert_array_equal(scanned[i], np.asarray(step(qvars, b)))
 
 
+def test_densenet_quantized_matches_f32_forward():
+    """densenet121 W8A8 (pre-activation BN as explicit affines, post-conv
+    BNs folded into the conv dequant — models/densenet.py QuantDenseLayer)
+    tracks the f32 eval forward at the backbone-feature level, and the
+    prepared tree has the declared structure. crop 32: densenet's five
+    downsamples collapse smaller crops to zero spatial size."""
+    from rxtpu.models.densenet import densenet121
+    from rxtpu.train.step import eval_batch_normalize
+
+    cfg = _cfg(backbone="densenet121", crop=32, src=48)
+    model = build_model(cfg)
+    state, _ = create_train_state(cfg, model, steps_per_epoch=1)
+    assert quantizable(model)
+    rng = np.random.default_rng(7)
+    qstats = calibrate(model, state, [_batch(rng, n=2, src=48)], 32)
+    qvars = prepare_quantized(model, state, qstats)
+
+    bb = qvars["params"]["backbone"]
+    assert bb["conv_init"]["kernel_q"].dtype == jnp.int8
+    assert set(bb["block1_layer1"]) == {"BatchNorm_0", "Conv_0", "Conv_1"}
+    assert set(bb["block1_layer1"]["BatchNorm_0"]) == {"mul", "add"}
+    assert set(bb["bn_final"]) == {"mul", "add"}
+    # the head rides unquantized WITH its running stats (no fold path)
+    assert "kernel" in qvars["params"]["head"]["fc1"]
+    assert "head" in qvars["batch_stats"]
+
+    b = _batch(rng, n=2, src=48)
+    views = eval_batch_normalize(b["images"], b["mean"], b["std"], 32)
+    v = views.reshape((-1,) + views.shape[-3:])[:4]
+    f_eval = np.asarray(densenet121(dtype=jnp.float32).apply(
+        {"params": state.params["backbone"],
+         "batch_stats": state.batch_stats["backbone"]},
+        v, train=False), np.float32)
+    f_q = np.asarray(densenet121(dtype=jnp.float32, quantized=True).apply(
+        {"params": bb}, v, train=False), np.float32)
+    rel = np.linalg.norm(f_q - f_eval) / np.linalg.norm(f_eval)
+    assert rel < 0.1  # random-init nets amplify quant noise (measured ~5%)
+
+    step = make_quantized_predict_step(model, 32)
+    pq = np.asarray(step(qvars, b))
+    pf = np.asarray(make_predict_step(model, 32)(state, b))
+    np.testing.assert_allclose(pq.sum(-1), 1.0, rtol=1e-5)
+    assert (pq.argmax(-1) == pf.argmax(-1)).mean() >= 0.75
+
+
 def test_quantize_guards():
     cfg = _cfg(head="arcface")
     model = build_model(cfg)
     assert not quantizable(model)
     with pytest.raises(ValueError, match="resnet backbones"):
         make_quantized_predict_step(model, 24)
-    from rxtpu.models.resnet import make_backbone
-
-    with pytest.raises(ValueError, match="int8"):
-        make_backbone("densenet121", quantized=True)
+    # densenet int8 requires the mlp head too (the prepared tree carries
+    # the head's running stats — infer/quant.py prepare_quantized)
+    assert not quantizable(build_model(_cfg(backbone="densenet121",
+                                            head="arcface")))
