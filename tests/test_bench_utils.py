@@ -114,6 +114,30 @@ def test_project_stalls_min_storage_envelope(monkeypatch):
                                rtol=1e-9)
 
 
+def test_project_stalls_best_trial_storage(monkeypatch):
+    """The best-measured-storage projection uses the max (least
+    tenant-contended) trial: a contended median that busts the step
+    budget must not drag it down, and without a recorded best trial it
+    falls back to the median."""
+    bench = _load_bench()
+    monkeypatch.delenv("RXTPU_PROD_CORES", raising=False)
+    monkeypatch.delenv("RXTPU_PROD_POOL_EFF", raising=False)
+    # raw batch 100 MB / step 100 ms => requires 1000 MB/s; median 500
+    # (contended, 200 ms feed => 50% stall) but best trial 2000 hides
+    r = _stall_record(storage_MBps_cold=500.0,
+                      storage_MBps_cold_best=2000.0)
+    bench._project_stalls(r, 32)
+    assert r["projected_stall_pct_at_measured_storage"] == 50.0
+    assert r["projected_stall_pct_at_best_measured_storage"] == 0.0
+    r2 = _stall_record(storage_MBps_cold=500.0)
+    bench._project_stalls(r2, 32)
+    np.testing.assert_allclose(
+        r2["projected_stall_pct_at_best_measured_storage"], 50.0)
+    r3 = _stall_record(storage_cold_ram_backed=True)
+    bench._project_stalls(r3, 32)
+    assert "projected_stall_pct_at_best_measured_storage" not in r3
+
+
 def test_project_stalls_serial_floor_busts(monkeypatch):
     """When the serial assembly floor alone exceeds the 2% budget, no
     core count helps: min_cores must be None, not a misleading number."""
