@@ -62,7 +62,7 @@ def _build_native(lib_path: str) -> None:
     # must never dlopen a half-written .so
     tmp = f"{lib_path}.build{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-           "-o", tmp, "-ljpeg", "-lz", "-lpthread"]
+           "-o", tmp, "-ljpeg", "-lz", "-lzstd", "-lpthread"]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, lib_path)
 
@@ -104,24 +104,99 @@ def get_native_lib(rebuild: bool = False) -> Optional[ctypes.CDLL]:
         lib.rxtpu_inflate_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int,
         ]
         lib.rxtpu_deflate_filtered_batch.restype = ctypes.c_int
         lib.rxtpu_deflate_filtered_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
-            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ]
         lib.rxtpu_inflate_unfilter_batch.restype = ctypes.c_int
         lib.rxtpu_inflate_unfilter_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ]
         _lib = lib
         return _lib
     except Exception:
         _native_failed = True
         return None
+
+
+# ---------------------------------------------------------------------------
+# Compression codec plumbing (compressed rxpack): codec 0 = zlib, 1 = zstd.
+# zstd decompresses 3-5x faster than zlib at comparable ratios, which is what
+# lets a lossless compressed pack meet the <2% input-stall envelope at
+# reference host cores (zlib inflate alone needed >14). The Python fallback
+# binds libzstd directly via ctypes (this Python has no zstd stdlib module).
+# ---------------------------------------------------------------------------
+
+_CODECS = {"zlib": 0, "zstd": 1}
+
+_zstd_lib: Optional[ctypes.CDLL] = None
+
+
+def _codec_id(codec: str) -> int:
+    try:
+        return _CODECS[codec]
+    except KeyError:
+        raise ValueError(f"unknown codec {codec!r} (want 'zlib' or 'zstd')")
+
+
+def _get_zstd() -> ctypes.CDLL:
+    global _zstd_lib
+    if _zstd_lib is None:
+        import ctypes.util
+
+        name = ctypes.util.find_library("zstd") or "libzstd.so.1"
+        lib = ctypes.CDLL(name)
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        lib.ZSTD_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_int,
+        ]
+        lib.ZSTD_decompress.restype = ctypes.c_size_t
+        lib.ZSTD_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.ZSTD_isError.restype = ctypes.c_uint
+        lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+        _zstd_lib = lib
+    return _zstd_lib
+
+
+def _compress_py(raw: bytes, codec: str, level: int) -> bytes:
+    if codec == "zlib":
+        import zlib
+
+        return zlib.compress(raw, level)
+    lib = _get_zstd()
+    cap = len(raw) + (len(raw) >> 7) + 1024  # >= ZSTD_compressBound
+    dst = ctypes.create_string_buffer(cap)
+    n = lib.ZSTD_compress(dst, cap, raw, len(raw), level)
+    if lib.ZSTD_isError(n):
+        raise ValueError("zstd compress failed")
+    return dst.raw[:n]
+
+
+def _decompress_py(blob: bytes, codec: str, expect_bytes: int) -> bytes:
+    """Decompress one stream; returns b'' on any failure/size mismatch."""
+    if codec == "zlib":
+        import zlib
+
+        try:
+            raw = zlib.decompress(blob)
+        except zlib.error:
+            return b""
+        return raw if len(raw) == expect_bytes else b""
+    lib = _get_zstd()
+    dst = ctypes.create_string_buffer(expect_bytes)
+    n = lib.ZSTD_decompress(dst, expect_bytes, blob, len(blob))
+    if lib.ZSTD_isError(n) or n != expect_bytes:
+        return b""
+    return dst.raw
 
 
 def _decode_batch_cv2(buffers: Sequence[bytes], out: np.ndarray) -> int:
@@ -208,8 +283,9 @@ def inflate_batch(
     use_native: bool = True,
     out: Optional[np.ndarray] = None,
     strict: bool = False,
+    codec: str = "zlib",
 ) -> np.ndarray:
-    """Decompress N zlib streams out of ONE contiguous uint8 buffer.
+    """Decompress N zlib/zstd streams out of ONE contiguous uint8 buffer.
 
     ``data`` is the whole pack (typically a memmap — slices are read
     lazily by the pool threads, so the OS readahead overlaps inflate);
@@ -227,23 +303,20 @@ def inflate_batch(
     data = np.ascontiguousarray(data)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    codec_id = _codec_id(codec)
     lib = get_native_lib() if use_native else None
     if lib is not None:
         failures = lib.rxtpu_inflate_batch(
             data.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
-            n, out.ctypes.data, item_bytes, nthreads,
+            n, out.ctypes.data, item_bytes, codec_id, nthreads,
         )
     else:
-        import zlib
-
         failures = 0
         for i in range(n):
-            try:
-                raw = zlib.decompress(
-                    data[offsets[i]:offsets[i] + lengths[i]].tobytes())
-            except zlib.error:
-                raw = b""
-            if len(raw) != item_bytes:
+            raw = _decompress_py(
+                data[offsets[i]:offsets[i] + lengths[i]].tobytes(),
+                codec, item_bytes)
+            if not raw:
                 out[i] = 0
                 failures += 1
             else:
@@ -337,40 +410,41 @@ def deflate_filtered_batch(
     use_filter: bool = True,
     nthreads: int = 0,
     use_native: bool = True,
+    codec: str = "zlib",
 ) -> List[bytes]:
-    """Pre-filter (optionally) + zlib-compress uint8 views [N, C, H, W].
+    """Pre-filter (optionally) + zlib/zstd-compress uint8 views [N,C,H,W].
 
     Returns one compressed byte string per view. The native path runs
-    filter+deflate per view inside the C++ thread pool; the fallback uses
-    :func:`filter_plane_py` + ``zlib.compress``. Raises on any failed
-    compress (a truncated blob baked into a pack would poison every later
-    read).
+    filter+compress per view inside the C++ thread pool; the fallback uses
+    :func:`filter_plane_py` + the codec's Python binding. Raises on any
+    failed compress (a truncated blob baked into a pack would poison every
+    later read). Level semantics follow the codec (zlib 1-9, zstd 1-22).
     """
     n, c, h, w = views.shape
     views = np.ascontiguousarray(views)
+    codec_id = _codec_id(codec)
     lib = get_native_lib() if use_native else None
     if lib is not None:
         src_bytes = c * h * (w + 1) if use_filter else c * h * w
-        cap = src_bytes + src_bytes // 1000 + 128  # >= zlib compressBound
+        # >= compressBound for BOTH codecs (zlib: n/1000+128; zstd: n/128+~512)
+        cap = src_bytes + src_bytes // 128 + 1024
         out = np.empty((n, cap), np.uint8)
         out_lengths = np.zeros(n, np.int64)
         failures = lib.rxtpu_deflate_filtered_batch(
             views.ctypes.data, n, c, h, w, level, int(use_filter),
-            out.ctypes.data, cap, out_lengths.ctypes.data, nthreads,
+            out.ctypes.data, cap, out_lengths.ctypes.data, codec_id, nthreads,
         )
         if failures:
             raise ValueError(f"{failures}/{n} views failed to compress")
         return [out[i, : out_lengths[i]].tobytes() for i in range(n)]
-    import zlib
-
     blobs = []
     for i in range(n):
         if use_filter:
             filtered = np.concatenate(
                 [filter_plane_py(views[i, p]).reshape(-1) for p in range(c)])
-            blobs.append(zlib.compress(filtered.tobytes(), level))
+            blobs.append(_compress_py(filtered.tobytes(), codec, level))
         else:
-            blobs.append(zlib.compress(views[i].tobytes(), level))
+            blobs.append(_compress_py(views[i].tobytes(), codec, level))
     return blobs
 
 
@@ -385,8 +459,9 @@ def inflate_unfilter_batch(
     use_native: bool = True,
     out: Optional[np.ndarray] = None,
     strict: bool = False,
+    codec: str = "zlib",
 ) -> np.ndarray:
-    """Inflate + unfilter N filtered-zlib streams to uint8 [N, C, H, W].
+    """Inflate + unfilter N filtered zlib/zstd streams to uint8 [N,C,H,W].
 
     The read side of the "png"-filtered compressed rxpack; same contract
     as :func:`inflate_batch` (zero-fill or raise with ``strict=True``).
@@ -399,27 +474,27 @@ def inflate_unfilter_batch(
     data = np.ascontiguousarray(data)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    codec_id = _codec_id(codec)
     lib = get_native_lib() if use_native else None
     if lib is not None:
         failures = lib.rxtpu_inflate_unfilter_batch(
             data.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
-            n, out.ctypes.data, c, h, w, nthreads,
+            n, out.ctypes.data, c, h, w, codec_id, nthreads,
         )
     else:
-        import zlib
-
         filtered_bytes = c * h * (w + 1)
         failures = 0
         for i in range(n):
             try:
-                raw = zlib.decompress(
-                    data[offsets[i]:offsets[i] + lengths[i]].tobytes())
-                if len(raw) != filtered_bytes:
-                    raise ValueError("bad inflated size")
+                raw = _decompress_py(
+                    data[offsets[i]:offsets[i] + lengths[i]].tobytes(),
+                    codec, filtered_bytes)
+                if not raw:
+                    raise ValueError("bad stream")
                 filt = np.frombuffer(raw, np.uint8).reshape(c, h, w + 1)
                 for p in range(c):
                     out[i, p] = unfilter_plane_py(filt[p])
-            except (zlib.error, ValueError):
+            except ValueError:
                 out[i] = 0
                 failures += 1
     if strict and failures:

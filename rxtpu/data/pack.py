@@ -17,21 +17,26 @@ Readers memory-map the pack; batch assembly is pure memcpy. ``PackStore``
 is a drop-in for ``ByteStore`` in ``rxtpu.data.pipeline`` (the pipeline
 detects the decoded fast path via ``get_decoded``).
 
-Compressed variant (``write_pack(compress="zlib")``): views are stored as
-variable-length zlib streams, located by ``"offsets"``/``"lengths"``
-arrays in the JSON (indexed by ordinal) with ``"compress": "zlib"``. A
-raw 512^2 pack demands ~1.2 GB/s of storage bandwidth per v5e chip at the
-measured step rate (bench `storage_MBps_required`); fluorescent cell
-planes deflate ~2-4x, so storage-bandwidth-bound hosts can trade
-pool-thread CPU (``rxtpu_inflate_batch``, decoder.cpp) for that factor.
-``PackStore`` auto-detects the variant from the JSON — the Pipeline needs
-no flag (it batch-inflates via ``get_decoded_batch``).
+Compressed variant (``write_pack(compress="zlib"|"zstd")``): views are
+stored as variable-length compressed streams, located by
+``"offsets"``/``"lengths"`` arrays in the JSON (indexed by ordinal) with
+``"compress": "zlib"|"zstd"``. A raw 512^2 pack demands ~1.2 GB/s of
+storage bandwidth per v5e chip at the measured step rate (bench
+`storage_MBps_required`); fluorescent cell planes deflate ~2-4x, so
+storage-bandwidth-bound hosts can trade pool-thread CPU
+(``rxtpu_inflate_batch``, decoder.cpp) for that factor. ``PackStore``
+auto-detects the variant from the JSON — the Pipeline needs no flag (it
+batch-inflates via ``get_decoded_batch``). zstd decompresses 3-5x faster
+than zlib at comparable ratios (pool cores are the binding resource on a
+reference host), so ``"zstd"`` is the recommended lossless compressed
+format; zstd levels go to 22 (compression is a one-time pack cost —
+decompression speed is essentially level-independent).
 
 ``filter="png"`` additionally pre-filters every plane row with the PNG
 none/sub/up/avg/paeth family (adaptive per row, decoder.cpp
-``filter_plane``) before deflate. Smooth microscopy planes leave
-near-zero residuals, roughly doubling the compression ratio of plain
-zlib; readers inflate+unfilter in one native pool call
+``filter_plane``) before the codec. Smooth microscopy planes leave
+near-zero residuals, roughly doubling the compression ratio of the plain
+codec; readers inflate+unfilter in one native pool call
 (``rxtpu_inflate_unfilter_batch``). JSON gains ``"filter": "png"``.
 """
 
@@ -76,16 +81,18 @@ def write_pack(
     """Decode every (well, site) of the index once and write the pack.
 
     Returns the pack path. Decoding runs through the native thread-pool
-    loader in batches of ``batch_wells`` wells. ``compress="zlib"``
-    writes the variable-length compressed variant; ``filter="png"`` adds
-    the per-row adaptive pre-filter (see module docstring).
+    loader in batches of ``batch_wells`` wells. ``compress="zlib"`` or
+    ``"zstd"`` writes the variable-length compressed variant;
+    ``filter="png"`` adds the per-row adaptive pre-filter (see module
+    docstring). ``compress_level`` follows the codec's scale (zlib 1-9,
+    zstd 1-22).
     """
-    if compress not in (None, "zlib"):
+    if compress not in (None, "zlib", "zstd"):
         raise ValueError(f"unknown pack compression {compress!r}")
     if filter not in (None, "png"):
         raise ValueError(f"unknown pack filter {filter!r}")
     if filter and not compress:
-        raise ValueError("filter requires compress='zlib'")
+        raise ValueError("filter requires a compress codec")
     import cv2
 
     records = _all_records(index)
@@ -137,25 +144,26 @@ def write_pack(
             planes = decode_files(paths, h, w, nthreads=decoder_threads,
                                   strict=True)
             planes = planes.reshape(len(keys), c, h, w)
-            if compress == "zlib":
+            if compress:
                 from rxtpu.data.decode import deflate_filtered_batch
 
                 blobs = deflate_filtered_batch(
                     planes, level=compress_level,
-                    use_filter=(filter == "png"), nthreads=decoder_threads)
+                    use_filter=(filter == "png"), nthreads=decoder_threads,
+                    codec=compress)
             else:
                 blobs = [view.tobytes() for view in planes]
             for k, blob in zip(keys, blobs):
                 entries[k] = ordinal
-                if compress == "zlib":
+                if compress:
                     offsets.append(pos)
                     lengths.append(len(blob))
                     pos += len(blob)
                 f.write(blob)
                 ordinal += 1
     meta = {"h": h, "w": w, "channels": c, "entries": entries}
-    if compress == "zlib":
-        meta["compress"] = "zlib"
+    if compress:
+        meta["compress"] = compress
         meta["offsets"] = offsets
         meta["lengths"] = lengths
         if filter:
@@ -224,11 +232,12 @@ class PackStore:
             return inflate_unfilter_batch(
                 self._mm, self._offsets[ordinals], self._lengths[ordinals],
                 self.n_channels, self.h, self.w, nthreads=nthreads,
-                strict=True,
+                strict=True, codec=self.compress,
             ).reshape(len(ordinals), self._view_elems)
         from rxtpu.data.decode import inflate_batch
 
         return inflate_batch(
             self._mm, self._offsets[ordinals], self._lengths[ordinals],
             self._view_elems, nthreads=nthreads, strict=True,
+            codec=self.compress,
         )

@@ -8,7 +8,8 @@
 // batch grayscale JPEG *encoder* used by the PNG->JPEG conversion tool
 // (reference png_to_jpeg.py).
 //
-// Build: g++ -O3 -shared -fPIC decoder.cpp -o librxtpu_decode.so -ljpeg -lz
+// Build: g++ -O3 -shared -fPIC decoder.cpp -o librxtpu_decode.so \
+//        -ljpeg -lz -lzstd
 // (done automatically by rxtpu/data/decode.py at first import).
 
 #include <atomic>
@@ -22,6 +23,7 @@
 
 #include <jpeglib.h>
 #include <zlib.h>
+#include <zstd.h>
 
 namespace {
 
@@ -230,6 +232,38 @@ bool unfilter_plane(const uint8_t* f, int64_t h, int64_t w, uint8_t* dst) {
   return true;
 }
 
+// ---- codec dispatch: zlib (codec 0) or zstd (codec 1) --------------------
+// zstd decompresses 3-5x faster than zlib at comparable ratios, which is
+// what makes a lossless compressed rxpack meet the <2% input-stall target
+// on a reference-core host (zlib inflate alone needed >14 cores). Level
+// semantics differ per codec: zlib 1-9, zstd 1-22 (compression is a
+// one-time pack cost; decompression speed is level-independent for zstd).
+
+// Compress src[n] into dst[cap]; returns compressed size, or 0 on failure.
+size_t compress_any(int codec, uint8_t* dst, size_t cap, const uint8_t* src,
+                    size_t n, int level) {
+  if (codec == 1) {
+    size_t r = ZSTD_compress(dst, cap, src, n, level);
+    return ZSTD_isError(r) ? 0 : r;
+  }
+  uLongf dst_len = static_cast<uLongf>(cap);
+  if (compress2(dst, &dst_len, src, static_cast<uLong>(n), level) != Z_OK)
+    return 0;
+  return static_cast<size_t>(dst_len);
+}
+
+// Decompress src[n] into dst[cap]; returns decompressed size, 0 on failure.
+size_t decompress_any(int codec, uint8_t* dst, size_t cap, const uint8_t* src,
+                      size_t n) {
+  if (codec == 1) {
+    size_t r = ZSTD_decompress(dst, cap, src, n);
+    return ZSTD_isError(r) ? 0 : r;
+  }
+  uLongf dst_len = static_cast<uLongf>(cap);
+  if (uncompress(dst, &dst_len, src, static_cast<uLong>(n)) != Z_OK) return 0;
+  return static_cast<size_t>(dst_len);
+}
+
 // Shared thread-pool policy: clamp nthreads, hand out items via an atomic
 // counter, count failures. fn(i, scratch) returns true on success;
 // `scratch` is a per-thread reusable byte buffer (file reads).
@@ -332,21 +366,21 @@ int rxtpu_encode_batch(const uint8_t* in, int n, int h, int w, int quality,
   });
 }
 
-// Inflate n zlib streams (concatenated in `data` at `offsets`/`lengths`)
-// into out[n * item_bytes]. Used by the compressed rxpack reader: storage-
-// bandwidth-bound hosts trade pool-thread CPU for a ~2-4x smaller pack.
-// Every stream must decompress to EXACTLY item_bytes (fixed-size raw
-// views); short/long/corrupt streams count as failures and zero-fill.
+// Inflate n zlib/zstd streams (concatenated in `data` at
+// `offsets`/`lengths`, codec 0=zlib 1=zstd) into out[n * item_bytes].
+// Used by the compressed rxpack reader: storage-bandwidth-bound hosts
+// trade pool-thread CPU for a ~2-4x smaller pack. Every stream must
+// decompress to EXACTLY item_bytes (fixed-size raw views);
+// short/long/corrupt streams count as failures and zero-fill.
 int rxtpu_inflate_batch(const uint8_t* data, const int64_t* offsets,
                         const int64_t* lengths, int n, uint8_t* out,
-                        int64_t item_bytes, int nthreads) {
+                        int64_t item_bytes, int codec, int nthreads) {
   const size_t item = static_cast<size_t>(item_bytes);
   return run_pool(n, nthreads, [&](int i, std::vector<uint8_t>&) {
     uint8_t* dst = out + item * i;
-    uLongf dst_len = static_cast<uLongf>(item);
-    int rc = uncompress(dst, &dst_len, data + offsets[i],
-                        static_cast<uLong>(lengths[i]));
-    bool ok = (rc == Z_OK && dst_len == item);
+    size_t got = decompress_any(codec, dst, item, data + offsets[i],
+                                static_cast<size_t>(lengths[i]));
+    bool ok = (got == item);
     if (!ok) std::memset(dst, 0, item);
     return ok;
   });
@@ -355,17 +389,18 @@ int rxtpu_inflate_batch(const uint8_t* data, const int64_t* offsets,
 // Filter (optional) + deflate n raw views in[n, c, h, w] into per-slot
 // buffers out + i*cap; out_lengths[i] receives the compressed size (0 on
 // failure/overflow). use_filter selects the PNG-style per-row adaptive
-// pre-filter (see filter_plane). Returns number of failures.
+// pre-filter (see filter_plane); codec 0=zlib 1=zstd. Returns number of
+// failures.
 int rxtpu_deflate_filtered_batch(const uint8_t* in, int n, int64_t c,
                                  int64_t h, int64_t w, int level,
                                  int use_filter, uint8_t* out, int64_t cap,
-                                 int64_t* out_lengths, int nthreads) {
+                                 int64_t* out_lengths, int codec,
+                                 int nthreads) {
   const size_t view = static_cast<size_t>(c) * h * w;
   const size_t filtered = static_cast<size_t>(c) * h * (w + 1);
   return run_pool(n, nthreads, [&](int i, std::vector<uint8_t>& scratch) {
     const uint8_t* src = in + view * i;
-    uLongf dst_len = static_cast<uLongf>(cap);
-    int rc;
+    size_t got;
     if (use_filter) {
       scratch.resize(filtered);
       std::vector<uint8_t> cand;  // 5-row candidate workspace (tiny)
@@ -373,35 +408,36 @@ int rxtpu_deflate_filtered_batch(const uint8_t* in, int n, int64_t c,
         filter_plane(src + p * h * w, h, w,
                      scratch.data() + static_cast<size_t>(p) * h * (w + 1),
                      cand);
-      rc = compress2(out + static_cast<size_t>(cap) * i, &dst_len,
-                     scratch.data(), static_cast<uLong>(filtered), level);
+      got = compress_any(codec, out + static_cast<size_t>(cap) * i,
+                         static_cast<size_t>(cap), scratch.data(), filtered,
+                         level);
     } else {
-      rc = compress2(out + static_cast<size_t>(cap) * i, &dst_len, src,
-                     static_cast<uLong>(view), level);
+      got = compress_any(codec, out + static_cast<size_t>(cap) * i,
+                         static_cast<size_t>(cap), src, view, level);
     }
-    bool ok = rc == Z_OK;
-    out_lengths[i] = ok ? static_cast<int64_t>(dst_len) : 0;
-    return ok;
+    out_lengths[i] = static_cast<int64_t>(got);
+    return got != 0;
   });
 }
 
-// Inflate + unfilter n filtered-zlib streams (located in `data` by
-// `offsets`/`lengths`) into out[n, c, h, w]. The inverse of
-// rxtpu_deflate_filtered_batch(use_filter=1): each stream must inflate to
-// exactly c*h*(w+1) bytes. Failures zero-fill; returns the failure count.
+// Inflate + unfilter n filtered zlib/zstd streams (located in `data` by
+// `offsets`/`lengths`, codec 0=zlib 1=zstd) into out[n, c, h, w]. The
+// inverse of rxtpu_deflate_filtered_batch(use_filter=1): each stream must
+// decompress to exactly c*h*(w+1) bytes. Failures zero-fill; returns the
+// failure count.
 int rxtpu_inflate_unfilter_batch(const uint8_t* data, const int64_t* offsets,
                                  const int64_t* lengths, int n, uint8_t* out,
-                                 int64_t c, int64_t h, int64_t w,
+                                 int64_t c, int64_t h, int64_t w, int codec,
                                  int nthreads) {
   const size_t view = static_cast<size_t>(c) * h * w;
   const size_t filtered = static_cast<size_t>(c) * h * (w + 1);
   return run_pool(n, nthreads, [&](int i, std::vector<uint8_t>& scratch) {
     uint8_t* dst = out + view * i;
     scratch.resize(filtered);
-    uLongf dst_len = static_cast<uLongf>(filtered);
-    int rc = uncompress(scratch.data(), &dst_len, data + offsets[i],
-                        static_cast<uLong>(lengths[i]));
-    bool ok = (rc == Z_OK && dst_len == filtered);
+    size_t got = decompress_any(codec, scratch.data(), filtered,
+                                data + offsets[i],
+                                static_cast<size_t>(lengths[i]));
+    bool ok = (got == filtered);
     for (int64_t p = 0; ok && p < c; ++p)
       ok = unfilter_plane(scratch.data() + static_cast<size_t>(p) * h * (w + 1),
                           h, w, dst + p * h * w);

@@ -238,32 +238,31 @@ def test_rxpack_roundtrip_and_pipeline_equivalence(synthetic_root, tmp_path):
     assert t["images"].shape == (2, 6, 6, SRC, SRC)
 
 
-def test_rxpack_zlib_compressed(synthetic_root, tmp_path):
+@pytest.mark.parametrize("codec", ["zlib", "zstd"])
+def test_rxpack_compressed(synthetic_root, tmp_path, codec):
     """Compressed pack == raw pack bit-for-bit through every read path."""
-    import zlib
-
-    from rxtpu.data.decode import inflate_batch
+    from rxtpu.data.decode import _compress_py, inflate_batch
     from rxtpu.data.pack import PackStore, write_pack
 
     root, _ = synthetic_root
     df, dfc = read_metadata_csvs(os.path.join(root, "metadata"), "train")
     idx = load_metadata(df, dfc, "train")
     raw = write_pack(idx, root, str(tmp_path / "raw"))
-    comp = write_pack(idx, root, str(tmp_path / "z"), compress="zlib")
+    comp = write_pack(idx, root, str(tmp_path / "z"), compress=codec)
     assert os.path.getsize(comp) < os.path.getsize(raw)  # it actually deflates
     rs, cs = PackStore(raw), PackStore(comp)
-    assert cs.compress == "zlib"
+    assert cs.compress == codec
     # per-view and batch-hook equality, native inflate vs raw memmap
     r = idx.records[0]
     np.testing.assert_array_equal(cs.get_decoded(r, 1), rs.get_decoded(r, 1))
     keys = [(rec, site) for rec in idx.records[:3] for site in (1, 2)]
     np.testing.assert_array_equal(cs.get_decoded_batch(keys),
                                   rs.get_decoded_batch(keys))
-    # python-zlib fallback == native pool
+    # python fallback == native pool
     got = inflate_batch(cs._mm, cs._offsets[:4], cs._lengths[:4],
-                        cs._view_elems, use_native=False)
+                        cs._view_elems, use_native=False, codec=codec)
     want = inflate_batch(cs._mm, cs._offsets[:4], cs._lengths[:4],
-                        cs._view_elems, use_native=True)
+                        cs._view_elems, use_native=True, codec=codec)
     np.testing.assert_array_equal(got, want)
     # full pipeline batch equality (same seed -> same view draws)
     stats = _stats_for(idx)
@@ -277,17 +276,19 @@ def test_rxpack_zlib_compressed(synthetic_root, tmp_path):
     mm[cs._offsets[0]:cs._offsets[0] + 8] = 0xFF
     with pytest.raises(ValueError, match="failed to decompress"):
         inflate_batch(mm, cs._offsets[:1], cs._lengths[:1],
-                      cs._view_elems, strict=True)
+                      cs._view_elems, strict=True, codec=codec)
     # ...and a stream inflating to the WRONG size is a failure, not a
     # silent short write (catches index/format drift)
-    blob = np.frombuffer(zlib.compress(b"x" * 10), np.uint8)
+    blob = np.frombuffer(_compress_py(b"x" * 10, codec, 6), np.uint8)
     with pytest.raises(ValueError, match="failed to decompress"):
         inflate_batch(blob, np.zeros(1, np.int64),
-                      np.asarray([len(blob)], np.int64), 99, strict=True)
+                      np.asarray([len(blob)], np.int64), 99, strict=True,
+                      codec=codec)
 
 
-def test_rxpack_png_filtered(synthetic_root, tmp_path):
-    """PNG-filtered zlib pack == raw pack bit-for-bit through every path."""
+@pytest.mark.parametrize("codec", ["zlib", "zstd"])
+def test_rxpack_png_filtered(synthetic_root, tmp_path, codec):
+    """PNG-filtered compressed pack == raw pack bit-for-bit, every path."""
     from rxtpu.data.decode import inflate_unfilter_batch
     from rxtpu.data.pack import PackStore, write_pack
 
@@ -295,10 +296,10 @@ def test_rxpack_png_filtered(synthetic_root, tmp_path):
     df, dfc = read_metadata_csvs(os.path.join(root, "metadata"), "train")
     idx = load_metadata(df, dfc, "train")
     raw = write_pack(idx, root, str(tmp_path / "raw"))
-    zf = write_pack(idx, root, str(tmp_path / "zf"), compress="zlib",
+    zf = write_pack(idx, root, str(tmp_path / "zf"), compress=codec,
                     filter="png")
     rs, fs = PackStore(raw), PackStore(zf)
-    assert fs.compress == "zlib" and fs.filter == "png"
+    assert fs.compress == codec and fs.filter == "png"
     r = idx.records[0]
     np.testing.assert_array_equal(fs.get_decoded(r, 1), rs.get_decoded(r, 1))
     keys = [(rec, site) for rec in idx.records[:3] for site in (1, 2)]
@@ -306,9 +307,9 @@ def test_rxpack_png_filtered(synthetic_root, tmp_path):
                                   rs.get_decoded_batch(keys))
     # python fallback == native pool on the same streams
     got = inflate_unfilter_batch(fs._mm, fs._offsets[:4], fs._lengths[:4],
-                                 6, SRC, SRC, use_native=False)
+                                 6, SRC, SRC, use_native=False, codec=codec)
     want = inflate_unfilter_batch(fs._mm, fs._offsets[:4], fs._lengths[:4],
-                                  6, SRC, SRC, use_native=True)
+                                  6, SRC, SRC, use_native=True, codec=codec)
     np.testing.assert_array_equal(got, want)
     # full pipeline batch equality (same seed -> same view draws)
     stats = _stats_for(idx)
@@ -321,7 +322,7 @@ def test_rxpack_png_filtered(synthetic_root, tmp_path):
     mm[fs._offsets[0]:fs._offsets[0] + 8] = 0xFF
     with pytest.raises(ValueError, match="failed to decompress"):
         inflate_unfilter_batch(mm, fs._offsets[:1], fs._lengths[:1],
-                               6, SRC, SRC, strict=True)
+                               6, SRC, SRC, strict=True, codec=codec)
     # filter requires the compressed container
     with pytest.raises(ValueError, match="filter requires"):
         write_pack(idx, root, str(tmp_path / "bad"), filter="png")
@@ -353,20 +354,25 @@ def test_png_filter_oracle_and_ratio():
         bad = filter_plane_py(views[0, 0]).copy()
         bad[0, 0] = 9
         unfilter_plane_py(bad)
-    # native and python produce IDENTICAL compressed streams (same
-    # adaptive choices, same zlib parameters)
+    # native and python make the same adaptive filter CHOICES (sizes match
+    # within noise) — but not necessarily identical bytes: asserting
+    # stream identity would couple the test to both paths linking the
+    # exact same zlib build (zlib-ng / version skew produce different,
+    # equally-valid streams). Cross-decode below is the real invariant.
     bn = deflate_filtered_batch(views, use_native=True)
     bp = deflate_filtered_batch(views, use_native=False)
-    assert [b for b in bn] == [b for b in bp]
-    # cross-decode: each decodes the other's streams back to the input
-    data = np.frombuffer(b"".join(bn), np.uint8)
-    lengths = np.asarray([len(b) for b in bn], np.int64)
-    offsets = np.zeros(n, np.int64)
-    np.cumsum(lengths[:-1], out=offsets[1:])
-    for use_native in (True, False):
-        out = inflate_unfilter_batch(data, offsets, lengths, c, h, w,
-                                     use_native=use_native)
-        np.testing.assert_array_equal(out, views)
+    assert abs(sum(map(len, bn)) - sum(map(len, bp))) \
+        <= 0.02 * sum(map(len, bp))
+    # cross-decode: each path decodes BOTH paths' streams back to the input
+    for blobs in (bn, bp):
+        data = np.frombuffer(b"".join(blobs), np.uint8)
+        lengths = np.asarray([len(b) for b in blobs], np.int64)
+        offsets = np.zeros(n, np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        for use_native in (True, False):
+            out = inflate_unfilter_batch(data, offsets, lengths, c, h, w,
+                                         use_native=use_native)
+            np.testing.assert_array_equal(out, views)
     if get_native_lib() is None:
         pytest.skip("native lib unavailable; oracle equality already checked")
     # the filter buys real ratio on smooth content vs plain zlib
