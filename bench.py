@@ -27,13 +27,14 @@ The JSON line tells the whole story:
   on-rig ``input_stall_pct`` is dominated by the dev tunnel's ~10-30 MB/s
   host->device relay (reported as ``h2d_MBps``).
 - ``detail.storage_MBps_required[_fmt]``, ``projected_stall_pct_
-  production[_fmt]``, ``min_cores_for_2pct[_fmt]`` and ``min_storage_
+  production_ref[_fmt]``, ``min_cores_for_2pct[_fmt]`` and ``min_storage_
   MBps_for_2pct[_fmt]`` for fmt in {raw, zlib, zf (PNG-filtered zlib
-  rxpack), jpeg}: the production-host input-stall model per feed format
-  (measured assembly/inflate/decode costs + measured cold-storage rate +
-  a documented core-scaling model — see ``_project_stalls``). The <2%
-  BASELINE axis is judged on these: at the reference 14-core host the
-  filtered pack must project under 2% at its stated storage envelope.
+  rxpack), zs (zstd), zsf (PNG-filtered zstd), jpeg}: the production-host
+  input-stall model per feed format (measured assembly/inflate/decode
+  costs + measured cold-storage rate + a documented core-scaling model —
+  see ``_project_stalls``). The <2% BASELINE axis is judged on these: at
+  the reference 14-core host the compressed pack must project under 2%
+  at its stated storage envelope.
 
 - ``detail.eval_ips_per_chip``: the inference-class rate (center-crop +
   normalize + forward, no bwd) — the workload class where the 5000
@@ -356,12 +357,19 @@ def _bench_dataset(src: int, min_records: int):
     (the step never sees pixel statistics).
     """
     cache = os.environ.get("RXTPU_BENCH_CACHE", "/tmp/rxtpu_bench_data_v2")
-    marker = os.path.join(cache, f"ok_{src}_{min_records}")
+    # the marker records the CONTENT MODE: a stale cache (e.g. v1 uniform
+    # noise under a reused RXTPU_BENCH_CACHE) must fully regenerate, not
+    # get topped up with packs whose ratios contradict the cells claim
+    marker = os.path.join(cache, f"ok_{src}_{min_records}_cells")
     if not os.path.exists(marker):
+        import shutil
+
         from rxtpu.data.pack import write_pack
         from rxtpu.data.records import load_metadata, read_metadata_csvs
         from rxtpu.data.synthetic import make_synthetic_dataset
 
+        if os.path.isdir(cache):
+            shutil.rmtree(cache)
         os.makedirs(cache, exist_ok=True)
         make_synthetic_dataset(
             cache, experiments=("HUVEC-01", "U2OS-01"), plates=(1, 2),
@@ -375,17 +383,27 @@ def _bench_dataset(src: int, min_records: int):
                    compress="zlib")
         write_pack(idx, cache, os.path.join(cache, "pack_zf"), src_size=src,
                    compress="zlib", filter="png")
+        # zstd level 19: one-time pack cost, decompress speed is
+        # level-independent — buy all the ratio the codec has
+        write_pack(idx, cache, os.path.join(cache, "pack_zs"), src_size=src,
+                   compress="zstd", compress_level=19)
+        write_pack(idx, cache, os.path.join(cache, "pack_zsf"), src_size=src,
+                   compress="zstd", compress_level=19, filter="png")
         with open(marker, "w") as f:
             f.write("ok")
-    # older cache dirs predate the filtered pack; top it up in place
-    if not os.path.exists(os.path.join(cache, "pack_zf", "train.rxpack")):
-        from rxtpu.data.pack import write_pack
-        from rxtpu.data.records import load_metadata, read_metadata_csvs
+    # same-content caches written before the zstd formats: top up in place
+    for sub, kw in (("pack_zs", dict(compress="zstd", compress_level=19)),
+                    ("pack_zsf", dict(compress="zstd", compress_level=19,
+                                      filter="png"))):
+        if not os.path.exists(os.path.join(cache, sub, "train.rxpack")):
+            from rxtpu.data.pack import write_pack
+            from rxtpu.data.records import load_metadata, read_metadata_csvs
 
-        df, dfc = read_metadata_csvs(os.path.join(cache, "metadata"), "train")
-        idx = load_metadata(df, dfc, "train")
-        write_pack(idx, cache, os.path.join(cache, "pack_zf"), src_size=src,
-                   compress="zlib", filter="png")
+            df, dfc = read_metadata_csvs(
+                os.path.join(cache, "metadata"), "train")
+            idx = load_metadata(df, dfc, "train")
+            write_pack(idx, cache, os.path.join(cache, sub), src_size=src,
+                       **kw)
     return cache
 
 
@@ -552,7 +570,8 @@ def run_pipeline_bench(backbone: str, batch: int, steps: int, crop: int, src: in
 
     raw_pack_bytes = os.path.getsize(raw_path)
     feed_legs = {}
-    for tag, sub in (("zlib", "pack_z"), ("zf", "pack_zf")):
+    for tag, sub in (("zlib", "pack_z"), ("zf", "pack_zf"),
+                     ("zs", "pack_zs"), ("zsf", "pack_zsf")):
         z_path = os.path.join(root, sub, "train.rxpack")
         if not os.path.exists(z_path):
             continue
@@ -657,18 +676,25 @@ def _project_stalls(r: dict, bench_batch: int) -> None:
     tenant contention, so the *measured*-storage projection is honest
     about this box but meaningless about production hardware.
 
-    Emits, per format f in {raw "", zlib, zf (PNG-filtered zlib), jpeg}:
+    Emits, per format f in {raw "", zlib, zf (PNG-filtered zlib), zs
+    (zstd), zsf (PNG-filtered zstd), jpeg}:
     ``storage_MBps_required[_f]``,
     ``projected_stall_pct_at_measured_storage[_f]`` (1 core, this box's
-    disk at the median trial), ``projected_stall_pct_production[_f]``
-    (reference cores, this box's measured disk),
+    disk at the median trial),
+    ``projected_stall_pct_prod_cores_measured_storage[_f]`` (reference
+    cores, this box's measured MEDIAN disk trial — a this-box diagnostic,
+    NOT a production claim: the median conflates tenant contention),
     ``projected_stall_pct_at_best_measured_storage[_f]`` (reference
     cores, the best — least tenant-contended — of the 3 measured trials:
     the stall this box's disk hardware demonstrably supports),
     ``projected_stall_pct_production_ref
     [_f]`` (reference cores + reference storage — the production
     claim), ``min_cores_for_2pct[_f]`` and ``min_storage_MBps_for_2pct
-    [_f]`` (the <2% envelope).
+    [_f]`` (the <2% envelope). The cores envelope is also emitted at
+    derated pool-scaling efficiencies (``min_cores_for_2pct[_f]_eff50``
+    / ``_eff70`` vs the default 0.9): the 0.9 figure is asserted from
+    pool structure (this 1-core box cannot measure thread scaling), so
+    the claim is published with its sensitivity.
     """
     prod_cores = int(os.environ.get("RXTPU_PROD_CORES", "14"))
     pool_eff = float(os.environ.get("RXTPU_PROD_POOL_EFF", "0.9"))
@@ -693,7 +719,7 @@ def _project_stalls(r: dict, bench_batch: int) -> None:
         exposed = max(0.0, feed_s - step_s)
         return 100.0 * exposed / (exposed + step_s)
 
-    for tag in ("", "zlib", "zf", "jpeg"):
+    for tag in ("", "zlib", "zf", "zs", "zsf", "jpeg"):
         suffix = f"_{tag}" if tag else ""
         if tag:
             ratio = r.get(f"pack_{tag}_ratio")
@@ -716,7 +742,8 @@ def _project_stalls(r: dict, bench_batch: int) -> None:
             r[f"projected_stall_pct_at_measured_storage{suffix}"] = (
                 stall_pct(feed_1core))
             feed_prod = max(cpu_s(prod_cores), bytes_mb / storage, pcie_s)
-            r[f"projected_stall_pct_production{suffix}"] = stall_pct(feed_prod)
+            r[f"projected_stall_pct_prod_cores_measured_storage{suffix}"] = (
+                stall_pct(feed_prod))
             # at the best (least-contended) measured trial — the stall
             # this box's disk HARDWARE supports, at reference cores
             feed_best = max(cpu_s(prod_cores), bytes_mb / storage_best,
@@ -725,14 +752,17 @@ def _project_stalls(r: dict, bench_batch: int) -> None:
                 stall_pct(feed_best))
         feed_ref = max(cpu_s(prod_cores), bytes_mb / prod_storage, pcie_s)
         r[f"projected_stall_pct_production_ref{suffix}"] = stall_pct(feed_ref)
-        # <2% envelope: cores bound (storage unconstrained) ...
-        if serial_s >= limit_s or pcie_s >= limit_s:
-            r[f"min_cores_for_2pct{suffix}"] = None  # serial/PCIe floor alone busts 2%
-        else:
-            import math
+        # <2% envelope: cores bound (storage unconstrained), at the
+        # default pool efficiency AND derated sensitivity points
+        for eff, ekey in ((pool_eff, ""), (0.7, "_eff70"), (0.5, "_eff50")):
+            key = f"min_cores_for_2pct{suffix}{ekey}"
+            if serial_s >= limit_s or pcie_s >= limit_s:
+                r[key] = None  # serial/PCIe floor alone busts 2%
+            else:
+                import math
 
-            need = pool_s / (pool_eff * (limit_s - serial_s))
-            r[f"min_cores_for_2pct{suffix}"] = max(1, math.ceil(need))
+                need = pool_s / (eff * (limit_s - serial_s))
+                r[key] = max(1, math.ceil(need))
         # ... and the storage bound (cores unconstrained)
         r[f"min_storage_MBps_for_2pct{suffix}"] = bytes_mb / limit_s
 
@@ -857,8 +887,8 @@ def main():
     # measured 124.5 ms = 96% of this ceiling (same rigor as the eval
     # ceiling that measured == model to 0.1%).
     if r.get("backend") == "tpu":
-        r["explained_ceiling_ips"] = 802
         if args.backbone == "resnet50" and args.crop == 364 and args.src == 512:
+            r["explained_ceiling_ips"] = 802
             # analytic per-op inference ceilings (dev/eval_ceiling.py):
             # MXU-lane-utilization + ideal-fusion HBM traffic at spec
             # 819 GB/s. Round-3 measured eval == this ceiling (23.78 vs

@@ -100,8 +100,92 @@ def conv_ops(crop: int):
     return ops
 
 
+def densenet_rows(args, add, V, B):
+    """Per-op walk of the DenseNet-121 eval forward (bf16 or int8),
+    mirroring rxtpu/models/densenet.py's actual dataflow.
+
+    bf16: pre-activation BN+relu are elementwise (ideal fusion: free);
+    each DenseLayer reads the concatenated state into Conv_0 (1x1 ->
+    4k=128), Conv_1 (3x3 -> k=32, MXU lane util 32/128 = 0.25 — the
+    architectural tax densenet pays on a 128-lane MXU), then the concat
+    MATERIALIZES (XLA concatenate is a real op: read both, write joined).
+
+    int8 (models/densenet.py _quantized): QuantPreNorm is a standalone
+    s8->s8 elementwise pass (BN affine + relu + requantize, 2 moves of
+    c_in); convs follow the s32 dataflow (s8 in 1B, s32 out 4B, epilogue
+    re-reads 4B + writes s8 1B = in + 9*out bytes); concat moves s8;
+    transitions dequant to float for the avg pool then requantize.
+    """
+    growth, blocks = 32, (6, 12, 24, 16)
+    int8 = args.int8
+    peak = args.peak_int8 if int8 else args.peak
+    act_b = 1 if int8 else B
+
+    h = args.crop // 2  # stem 7x7/2
+    flops = 2.0 * V * h * h * 6 * 64 * 49
+    add("stem7x7", flops / (peak * 0.5),
+        V * (6 * args.crop ** 2 * (1 if int8 else B)
+             + 64 * h * h * (9 if int8 else B)) / args.bw)
+    hp = (h + 1) // 2  # maxpool 3x3/2 (int8: exact on s8)
+    add("maxpool", 0.0, V * 64 * (h * h + hp * hp) * act_b / args.bw)
+    h, c = hp, 64
+    for bi, n_layers in enumerate(blocks):
+        for li in range(n_layers):
+            name = f"b{bi+1}l{li+1}"
+            t_in, t_mid, t_new = c * h * h, 128 * h * h, growth * h * h
+            if int8:
+                # epilogue: requant fuses into the conv (s32 stays on
+                # chip, 1B out); s32: the accumulator round-trips HBM
+                # (4B write + 4B read + 1B out). XLA lands between.
+                ob = 1 if args.int8_dataflow == "epilogue" else 9
+                add(f"{name}.pn", 0.0, V * 2 * t_in / args.bw)
+                add(f"{name}.c1",
+                    2.0 * V * t_mid * c / (peak * 1.0),
+                    V * (t_in + ob * t_mid) / args.bw)
+                add(f"{name}.c2",
+                    2.0 * V * t_new * 128 * 9 / (peak * 0.25),
+                    V * (t_mid + ob * t_new) / args.bw)
+            else:
+                add(f"{name}.c1", 2.0 * V * t_mid * c / (peak * 1.0),
+                    V * B * (t_in + t_mid) / args.bw)
+                add(f"{name}.c2", 2.0 * V * t_new * 128 * 9 / (peak * 0.25),
+                    V * B * (t_mid + t_new) / args.bw)
+            add(f"{name}.cat", 0.0,
+                V * 2 * (t_in + t_new) * act_b / args.bw)
+            c += growth
+        if bi != len(blocks) - 1:
+            c_out = c // 2
+            util = min(c_out, 128) / 128.0
+            t_in, t_out = c * h * h, c_out * h * h
+            name = f"t{bi+1}"
+            if int8:
+                add(f"{name}.pn", 0.0, V * 2 * t_in / args.bw)
+                # conv dequants to float for the avg pool (s32 write+read
+                # + bf16 write), pool reads/writes bf16, requantize to s8
+                add(f"{name}.c1", 2.0 * V * t_out * c / (peak * util),
+                    V * (t_in + 10 * t_out) / args.bw)
+                add(f"{name}.pool", 0.0,
+                    V * (2 * t_out + 2 * t_out // 4 + 2 * t_out // 4
+                         + t_out // 4) / args.bw)
+            else:
+                add(f"{name}.c1", 2.0 * V * t_out * c / (peak * util),
+                    V * B * (t_in + t_out) / args.bw)
+                add(f"{name}.pool", 0.0,
+                    V * B * (t_out + t_out // 4) / args.bw)
+            c, h = c_out, h // 2
+    # final BN+relu+global mean: one read of the final tensor
+    add("bn_final+gap", 0.0, V * c * h * h * (2 if int8 else B) / args.bw)
+    # head (shared TwoSitesNN MLP: 2*1024 -> 1024 -> 1108, per PAIR of
+    # views => /2 per view); bf16 matmuls either way (tiny)
+    add("head", 2.0 * V * (2 * c * 1024 + 1024 * 1108) / 2 / args.peak,
+        V * c * 12 * B / args.bw)
+    return c
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--backbone", default="resnet50",
+                    choices=["resnet50", "densenet121"])
     ap.add_argument("--views", type=int, default=96)
     ap.add_argument("--crop", type=int, default=364)
     ap.add_argument("--peak", type=float, default=176e12,
@@ -127,6 +211,8 @@ def main():
     args = ap.parse_args()
     if args.train and args.int8:
         raise SystemExit("--train prices the bf16 step (no int8 train path)")
+    if args.train and args.backbone != "resnet50":
+        raise SystemExit("--train walk is resnet50-only")
     V, B = args.views, 2  # bf16 bytes
 
     total = 0.0
@@ -148,6 +234,11 @@ def main():
         r = V * 6 * args.src * args.src
         w = V * 6 * args.crop * args.crop * (1 if args.int8 else B)
         add("normalize", 0.0, (r + w) / args.bw)
+
+    if args.backbone == "densenet121":
+        densenet_rows(args, add, V, B)
+        _print_rows(rows, total, V)
+        return
 
     ops = conv_ops(args.crop)
     # maxpool after stem: read stem output, write pooled
@@ -234,12 +325,22 @@ def main():
         # train-mode BN also maintains running mean/var over 53 BN layers
         # and the augment PRNG — negligible, folded into the 7x above
 
+    _print_rows(rows, total, V)
+
+
+def _print_rows(rows, total, V):
     print(f"{'op':12s} {'mxu_ms':>8s} {'hbm_ms':>8s} {'ceil_ms':>8s}")
     stage_sums = {}
     for name, m, h, t in rows:
         head = name.split(".")[0]
-        # bucket s1.x..s4.x by stage; keep full names (stem7x7, maxpool, …)
-        key = head[:2] if len(head) == 2 and head.startswith("s") else head
+        # bucket s1.x..s4.x / b1l1.. by stage/block; keep full names
+        # (stem7x7, maxpool, t1, …)
+        if len(head) == 2 and head[0] == "s":
+            key = head[:2]
+        elif head[0] == "b" and "l" in head:
+            key = head.split("l")[0]
+        else:
+            key = head
         stage_sums[key] = stage_sums.get(key, 0.0) + t
     for name, m, h, t in rows:
         print(f"{name:12s} {m:8.3f} {h:8.3f} {t:8.3f}")

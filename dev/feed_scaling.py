@@ -66,16 +66,22 @@ def main() -> None:
         "raw": PackStore(os.path.join(root, "pack", "train.rxpack")),
         "zlib": PackStore(os.path.join(root, "pack_z", "train.rxpack")),
         "zf": PackStore(os.path.join(root, "pack_zf", "train.rxpack")),
+        "zs": PackStore(os.path.join(root, "pack_zs", "train.rxpack")),
+        "zsf": PackStore(os.path.join(root, "pack_zsf", "train.rxpack")),
     }
     byte_store = ByteStore(idx, root, preload=True)
     jpeg_bufs = []
     for r, site in keys:
         jpeg_bufs.extend(byte_store.get(r, site))
 
+    raw_bytes = os.path.getsize(os.path.join(root, "pack", "train.rxpack"))
+    pack_files = {"raw": "pack", "zlib": "pack_z", "zf": "pack_zf",
+                  "zs": "pack_zs", "zsf": "pack_zsf"}
     out = {"src": args.src, "views": n, "view_MB": round(view_mb, 3),
            "nproc": os.cpu_count(), "formats": {}}
     for tag, store in stores.items():
-        row = {}
+        row = {"ratio": round(raw_bytes / os.path.getsize(
+            os.path.join(root, pack_files[tag], "train.rxpack")), 3)}
         for nt in args.threads:
             # warm page cache + pool, then best-of-3
             store.get_decoded_batch(keys, nthreads=nt)

@@ -73,7 +73,7 @@ def test_project_stalls_raw_format(monkeypatch):
         r["min_storage_MBps_for_2pct"], 100.0 / (0.1 * (1 + 0.02 / 0.98)))
     # 50 ms serial + fast disk + 12.5 ms pcie all hide under the 100 ms step
     assert r["projected_stall_pct_at_measured_storage"] == 0.0
-    assert r["projected_stall_pct_production"] == 0.0
+    assert r["projected_stall_pct_prod_cores_measured_storage"] == 0.0
     assert r["projected_stall_pct_production_ref"] == 0.0
 
 
@@ -94,10 +94,32 @@ def test_project_stalls_min_cores_envelope(monkeypatch):
         monkeypatch.setenv("RXTPU_PROD_CORES", str(cores))
         rr = dict(base)
         bench._project_stalls(rr, 32)
-        return rr["projected_stall_pct_production_zlib"]
+        return rr["projected_stall_pct_prod_cores_measured_storage_zlib"]
 
     assert stall_at(n) <= 2.0
     assert stall_at(n - 1) > 2.0
+
+
+def test_project_stalls_pool_eff_sensitivity(monkeypatch):
+    """The cores envelope is published at derated pool efficiencies so
+    the asserted 0.9 scaling isn't a single point of failure: pool
+    450 ms / (eff * 52.04 ms) -> 10 / 13 / 18 cores at 0.9 / 0.7 / 0.5."""
+    bench = _load_bench()
+    monkeypatch.delenv("RXTPU_PROD_CORES", raising=False)
+    monkeypatch.delenv("RXTPU_PROD_POOL_EFF", raising=False)
+    monkeypatch.delenv("RXTPU_PROD_STORAGE_MBPS", raising=False)
+    r = _stall_record()
+    bench._project_stalls(r, 32)
+    assert r["min_cores_for_2pct_zlib"] == 10
+    assert r["min_cores_for_2pct_zlib_eff70"] == 13
+    assert r["min_cores_for_2pct_zlib_eff50"] == 18
+    # raw is all serial floor: 1 core at every efficiency
+    assert r["min_cores_for_2pct_eff50"] == 1
+    # a busted serial floor nulls every efficiency row alike
+    rb = _stall_record(host_assemble_ms=60.0)
+    bench._project_stalls(rb, 32)
+    assert rb["min_cores_for_2pct"] is None
+    assert rb["min_cores_for_2pct_eff70"] is None
 
 
 def test_project_stalls_min_storage_envelope(monkeypatch):
@@ -110,7 +132,7 @@ def test_project_stalls_min_storage_envelope(monkeypatch):
     edge = probe["min_storage_MBps_for_2pct"]
     r = _stall_record(storage_MBps_cold=edge)
     bench._project_stalls(r, 32)
-    np.testing.assert_allclose(r["projected_stall_pct_production"], 2.0,
+    np.testing.assert_allclose(r["projected_stall_pct_prod_cores_measured_storage"], 2.0,
                                rtol=1e-9)
 
 
@@ -145,7 +167,7 @@ def test_project_stalls_serial_floor_busts(monkeypatch):
     r = _stall_record(host_assemble_ms=60.0)  # serial 120 ms > 102 ms limit
     bench._project_stalls(r, 32)
     assert r["min_cores_for_2pct"] is None
-    assert r["projected_stall_pct_production"] > 2.0
+    assert r["projected_stall_pct_prod_cores_measured_storage"] > 2.0
 
 
 def test_project_stalls_ram_backed_skips_measured(monkeypatch):
@@ -157,7 +179,7 @@ def test_project_stalls_ram_backed_skips_measured(monkeypatch):
     r = _stall_record(storage_cold_ram_backed=True)
     bench._project_stalls(r, 32)
     assert "projected_stall_pct_at_measured_storage" not in r
-    assert "projected_stall_pct_production" not in r
+    assert "projected_stall_pct_prod_cores_measured_storage" not in r
     assert r["prod_storage_MBps_ref"] == 1500.0
     assert "projected_stall_pct_production_ref" in r
     assert "projected_stall_pct_production_ref_zlib" in r
