@@ -467,7 +467,7 @@ def run_seed(seed, arms, want_int8, cache_dir, args, lr_box):
     test_data = [dict(b) for b in test_pipe.epoch(0)]
     cfg = Config(
         data=DataConfig(path_data=args.root, crop_size=CROP, src_size=IMG),
-        model=ModelConfig(backbone="resnet50", pretrained=False,
+        model=ModelConfig(backbone=args.backbone, pretrained=False,
                           nb_classes=NB_CLASSES, compute_dtype="float32"),
         train=TrainConfig(bs_per_device=args.batch,
                           nb_epochs=args.epochs, seed=seed),
@@ -555,6 +555,11 @@ def main():
                          "process (report merges whatever the cache holds)")
     ap.add_argument("--int8", action="store_true",
                     help="add a W8A8 leg from each rxtpu arm's best ckpt")
+    ap.add_argument("--backbone", default="resnet50",
+                    help="rxtpu-arm backbone. densenet121 gives the int8 "
+                         "trained-checkpoint accuracy row for the second "
+                         "backbone (no torch arm: the transcription oracle "
+                         "is resnet50-only); cache dir gets a suffix")
     ap.add_argument("--report-only", action="store_true")
     ap.add_argument("--cache-dir", default=None,
                     help="per-seed per-arm JSON cache (default keyed by "
@@ -563,11 +568,15 @@ def main():
     if args.root is None:
         args.root = f"/tmp/rxtpu_parity_leak_data_e{N_TRAIN_EXPS}"
     if args.cache_dir is None:
+        suffix = "" if args.backbone == "resnet50" else f"_{args.backbone}"
         args.cache_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            f"parity_cache_e{N_TRAIN_EXPS}")
+            f"parity_cache_e{N_TRAIN_EXPS}{suffix}")
     seeds = [int(s) for s in args.seeds.split(",")]
     arms = [a for a in args.arms.split(",") if a]
+    if args.backbone != "resnet50" and "torch" in arms:
+        raise SystemExit("the torch transcription oracle is resnet50-only; "
+                         "use --arms warp[,shear] with --backbone")
 
     t0 = time.time()
     lr_box = {"lr": 0.0005 * args.batch, "n_steps": 0, "n_val_wells": 0}
@@ -582,6 +591,20 @@ def main():
             _load_cache(args.cache_dir, s, a)
             for s in seeds for a in ("torch", "warp", "shear")
         ):
+            # self-report whatever int8 rows this process completed (the
+            # densenet121 --arms warp --int8 run has no torch report)
+            for arm in ("warp", "shear"):
+                rows = [_load_cache(args.cache_dir, s, f"{arm}_int8")
+                        for s in seeds]
+                base = [_load_cache(args.cache_dir, s, arm) for s in seeds]
+                if all(r is not None for r in rows + base):
+                    agr = [r["agree_vs_bf16"] for r in rows]
+                    vd = [r["val_delta"] for r in rows]
+                    bv = [b["best_val"] for b in base]
+                    print(f"[{args.backbone} {arm}] bf16 best_val mean "
+                          f"{np.mean(bv):.3f}; int8 sub agreement mean "
+                          f"{np.mean(agr):.3f} min {min(agr):.3f}; int8 "
+                          f"val delta mean {np.mean(vd):+.3f}", flush=True)
             print(f"arms {arms} done in {time.time()-t0:.0f}s; run "
                   "--report-only once every arm's cache is complete")
             return
