@@ -132,27 +132,47 @@ def _quantize_backbone(p: Dict[str, Any], s: Dict[str, Any]):
     return out
 
 
-def _qconv_entry(kernel, in_absmax, out_absmax=None, mul=None, add=None):
+def _qconv_entry(kernel, in_absmax, out_absmax=None, mul=None, add=None,
+                 in_absmax_ch=None):
     """One QuantConv param dict. ``mul``/``add`` fold a FOLLOWING eval-BN
     into the conv (kernel * mul per out-channel before quantization —
-    post-conv BN folds exactly; the bias carries the shift)."""
+    post-conv BN folds exactly; the bias carries the shift).
+
+    ``in_absmax_ch`` switches the conv to PER-INPUT-CHANNEL activation
+    quantization: the per-channel scale vector is baked into the kernel
+    (W' = W * s_in[i] — exact, since the conv is linear per input
+    channel), stored as ``in_scale_vec`` for the producer to quantize
+    with, and the runtime ``in_scale`` is fixed at 1 (QuantConv skips the
+    scalar dequant multiply when the incoming pair carries a vector).
+    Trained pre-activation BNs make densenet concat channel ranges span
+    orders of magnitude; per-tensor activation scales measured 67%
+    int8-vs-bf16 submission agreement on trained checkpoints."""
     kf = kernel.astype(jnp.float32)
     if mul is not None:
         kf = kf * mul
+    d = {}
+    if in_absmax_ch is not None:
+        s_in_vec = jnp.maximum(
+            jnp.asarray(in_absmax_ch, jnp.float32) / 127.0, 1e-12)
+        kf = kf * s_in_vec.reshape(1, 1, -1, 1)
+        d["in_scale_vec"] = s_in_vec
+        d["in_scale"] = jnp.float32(1.0)
+    else:
+        d["in_scale"] = jnp.maximum(
+            jnp.asarray(in_absmax, jnp.float32).reshape(()) / 127.0, 1e-12)
     w_scale = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0,
                           1e-12)
-    d = {
+    d.update({
         "kernel_q": jnp.clip(
             jnp.round(kf / w_scale), -127, 127).astype(jnp.int8),
         "w_scale": w_scale,
         "bias": (add.astype(jnp.float32) if add is not None
                  else jnp.zeros((kernel.shape[-1],), jnp.float32)),
-        "in_scale": jnp.maximum(
-            jnp.asarray(in_absmax, jnp.float32).reshape(()) / 127.0, 1e-12),
-    }
+    })
     if out_absmax is not None:
+        # scalar or per-channel vector; the epilogue requantize broadcasts
         d["out_scale"] = jnp.maximum(
-            jnp.asarray(out_absmax, jnp.float32).reshape(()) / 127.0, 1e-12)
+            jnp.asarray(out_absmax, jnp.float32) / 127.0, 1e-12)
     return d
 
 
@@ -172,9 +192,14 @@ def quantize_densenet_backbone(params: Dict[str, Any],
 
     out: Dict[str, Any] = {}
     mul0, add0 = _affine(params["bn_init"], batch_stats["bn_init"])
+    # stem input is the (quantize-at-source) image: per-tensor in_scale;
+    # everything downstream quantizes activations PER CHANNEL (the _ch
+    # ranges), with each consumer conv baking its input vector into its
+    # quantized kernel — exact, and the only granularity that survives
+    # trained pre-activation BNs (see _qconv_entry)
     out["conv_init"] = _qconv_entry(
         params["conv_init"]["kernel"], qstats["conv_init"]["in_absmax"],
-        out_absmax=qstats["stem_absmax"], mul=mul0, add=add0)
+        out_absmax=qstats["stem_absmax_ch"], mul=mul0, add=add0)
     for scope, sub in params.items():
         qs = qstats.get(scope, {})
         if scope.startswith("block"):
@@ -186,12 +211,14 @@ def quantize_densenet_backbone(params: Dict[str, Any],
                 "BatchNorm_0": {"mul": mul1, "add": add1},
                 # Conv_0's requantize target IS Conv_1's input range
                 "Conv_0": _qconv_entry(
-                    sub["Conv_0"]["kernel"], qs["Conv_0"]["in_absmax"],
-                    out_absmax=qs["Conv_1"]["in_absmax"],
+                    sub["Conv_0"]["kernel"], None,
+                    in_absmax_ch=qs["Conv_0"]["in_absmax_ch"],
+                    out_absmax=qs["Conv_1"]["in_absmax_ch"],
                     mul=mul2, add=add2),
                 "Conv_1": _qconv_entry(
-                    sub["Conv_1"]["kernel"], qs["Conv_1"]["in_absmax"],
-                    out_absmax=qs["Conv_1"]["out_absmax"]),
+                    sub["Conv_1"]["kernel"], None,
+                    in_absmax_ch=qs["Conv_1"]["in_absmax_ch"],
+                    out_absmax=qs["Conv_1"]["out_absmax_ch"]),
             }
         elif scope.startswith("transition"):
             mul1, add1 = _affine(sub["BatchNorm_0"],
@@ -199,8 +226,9 @@ def quantize_densenet_backbone(params: Dict[str, Any],
             out[scope] = {
                 "BatchNorm_0": {"mul": mul1, "add": add1},
                 "Conv_0": _qconv_entry(
-                    sub["Conv_0"]["kernel"], qs["Conv_0"]["in_absmax"],
-                    out_absmax=qstats[f"{scope}_absmax"]),
+                    sub["Conv_0"]["kernel"], None,
+                    in_absmax_ch=qs["Conv_0"]["in_absmax_ch"],
+                    out_absmax=qstats[f"{scope}_absmax_ch"]),
             }
         elif scope == "bn_final":
             mul, add = _affine(sub, batch_stats["bn_final"])

@@ -72,10 +72,10 @@ class QuantDenseLayer(nn.Module):
 
         q, svec = x
         p = self.variables["params"]
-        s_in2 = p["Conv_0"]["out_scale"]  # = Conv_1's input scale
+        s_in2 = p["Conv_0"]["out_scale"]  # = Conv_1's per-channel input scale
         s_out = p["Conv_1"]["out_scale"]
         z = QuantPreNorm(q.shape[-1], name="BatchNorm_0")(
-            x, out_scale=p["Conv_0"]["in_scale"])
+            x, out_scale=p["Conv_0"]["in_scale_vec"])
         z = self.conv(4 * self.growth_rate, (1, 1), name="Conv_0")(
             z, relu_out=True, out_scale=s_in2)
         yq, _ = self.conv(self.growth_rate, (3, 3), name="Conv_1")(
@@ -101,7 +101,7 @@ class QuantTransitionLayer(nn.Module):
         p = self.variables["params"]
         s_out = p["Conv_0"]["out_scale"]
         z = QuantPreNorm(q.shape[-1], name="BatchNorm_0")(
-            x, out_scale=p["Conv_0"]["in_scale"])
+            x, out_scale=p["Conv_0"]["in_scale_vec"])
         t = self.conv(self.out_features, (1, 1), name="Conv_0")(z)
         t = nn.avg_pool(t, (2, 2), strides=(2, 2))
         tq, _ = quantize_to(t, s_out)
@@ -145,9 +145,16 @@ class DenseNet(nn.Module):
 
         def observe(tag, v):
             if self.quant_observe:
-                self.sow("qstats", tag,
-                         jnp.max(jnp.abs(v.astype(jnp.float32))),
+                va = jnp.abs(v.astype(jnp.float32))
+                self.sow("qstats", tag, jnp.max(va),
                          init_fn=lambda: jnp.float32(0.0),
+                         reduce_fn=lambda a, b: jnp.maximum(a, b))
+                # per-channel range: the int8 path quantizes stored
+                # segments per channel (see infer/quant._qconv_entry)
+                nch = v.shape[-1]
+                self.sow("qstats", f"{tag}_ch",
+                         jnp.max(va, axis=tuple(range(va.ndim - 1))),
+                         init_fn=lambda: jnp.zeros((nch,), jnp.float32),
                          reduce_fn=lambda a, b: jnp.maximum(a, b))
 
         x = x.astype(self.dtype)

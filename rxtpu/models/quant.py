@@ -54,21 +54,38 @@ class ObservedConv(nn.Conv):
     the BN-folded weight tree during calibration; parameter paths are
     identical to ``nn.Conv`` (it IS one). The output range feeds the
     projection convs' ``out_scale`` (their output is a residual branch —
-    no consumer conv holds a calibrated scale for it)."""
+    no consumer conv holds a calibrated scale for it).
+
+    Scalar (per-tensor) AND per-channel absmax are both recorded: the
+    densenet path quantizes activations per channel (trained
+    pre-activation BNs leave concat states with strongly heterogeneous
+    channel ranges — a per-tensor scale measured 67% int8-vs-bf16
+    submission agreement on trained checkpoints; per-channel scales fold
+    exactly into the consumer conv's quantized weights)."""
 
     @nn.compact
     def __call__(self, x):
+        xa = jnp.abs(x.astype(jnp.float32))
         self.sow(
-            "qstats", "in_absmax",
-            jnp.max(jnp.abs(x.astype(jnp.float32))),
+            "qstats", "in_absmax", jnp.max(xa),
             init_fn=lambda: jnp.float32(0.0),
             reduce_fn=lambda a, b: jnp.maximum(a, b),
         )
-        y = super().__call__(x)
         self.sow(
-            "qstats", "out_absmax",
-            jnp.max(jnp.abs(y.astype(jnp.float32))),
+            "qstats", "in_absmax_ch", jnp.max(xa, axis=tuple(range(xa.ndim - 1))),
+            init_fn=lambda: jnp.zeros((x.shape[-1],), jnp.float32),
+            reduce_fn=lambda a, b: jnp.maximum(a, b),
+        )
+        y = super().__call__(x)
+        ya = jnp.abs(y.astype(jnp.float32))
+        self.sow(
+            "qstats", "out_absmax", jnp.max(ya),
             init_fn=lambda: jnp.float32(0.0),
+            reduce_fn=lambda a, b: jnp.maximum(a, b),
+        )
+        self.sow(
+            "qstats", "out_absmax_ch", jnp.max(ya, axis=tuple(range(ya.ndim - 1))),
+            init_fn=lambda: jnp.zeros((self.features,), jnp.float32),
             reduce_fn=lambda a, b: jnp.maximum(a, b),
         )
         return y
@@ -125,8 +142,14 @@ class QuantConv(nn.Module):
             "in_scale", lambda _k, s: jnp.ones(s, jnp.float32), ())
         if pre_quantized:
             # producer quantized with the SAME calibration entry this
-            # conv's in_scale came from; use the scale it actually used
+            # conv's in_scale came from; use the scale it actually used.
+            # A VECTOR scale means per-input-channel quantization, which
+            # is exact only because quantize_densenet_backbone baked that
+            # vector into kernel_q (W' = W * s_in[i]); dequant then uses
+            # w_scale alone.
             xq, in_scale = x
+            if getattr(in_scale, "ndim", 0) == 1:
+                in_scale = jnp.float32(1.0)
         elif x.dtype == jnp.int8:
             # quantize-at-source contract: a bare int8 input was produced
             # at THIS conv's calibrated in_scale (the Pallas crop-normalize
