@@ -174,6 +174,14 @@ def test_densenet_quantized_matches_f32_forward():
     assert set(bb["block1_layer1"]) == {"BatchNorm_0", "Conv_0", "Conv_1"}
     assert set(bb["block1_layer1"]["BatchNorm_0"]) == {"mul", "add"}
     assert set(bb["bn_final"]) == {"mul", "add"}
+    # per-channel activation quantization contract (infer/quant.
+    # _qconv_entry): consumer convs bake the input scale VECTOR into
+    # kernel_q and run with scalar in_scale 1; the stem output requantizes
+    # to a per-channel vector
+    l1c0 = bb["block1_layer1"]["Conv_0"]
+    assert l1c0["in_scale_vec"].ndim == 1
+    assert float(l1c0["in_scale"]) == 1.0
+    assert bb["conv_init"]["out_scale"].ndim == 1
     # the head rides unquantized WITH its running stats (no fold path)
     assert "kernel" in qvars["params"]["head"]["fc1"]
     assert "head" in qvars["batch_stats"]
