@@ -95,12 +95,25 @@ def build_data(root: str, batch: int, pipe_seed: int = 0):
         load_metadata, read_metadata_csvs, stratified_split)
     from rxtpu.data.synthetic import make_plate_balanced_synthetic_dataset
 
-    manifest_path = os.path.join(root, "metadata", "train.csv")
-    if not os.path.exists(manifest_path):
-        make_plate_balanced_synthetic_dataset(
-            root, nb_classes=NB_CLASSES, n_train_experiments=N_TRAIN_EXPS,
-            n_test_experiments=2, test_types=(0, 1), img_size=IMG, seed=0,
-        )
+    # Generation is guarded by an flock + a completion marker (NOT
+    # train.csv, which the generator writes before the test images): the
+    # documented two-process recipe (torch arm on CPU + rxtpu arms on
+    # TPU) starts both at once, and an exists-check alone races.
+    done_marker = os.path.join(root, ".generated")
+    if not os.path.exists(done_marker):
+        import fcntl
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, ".genlock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if not os.path.exists(done_marker):
+                make_plate_balanced_synthetic_dataset(
+                    root, nb_classes=NB_CLASSES,
+                    n_train_experiments=N_TRAIN_EXPS,
+                    n_test_experiments=2, test_types=(0, 1), img_size=IMG,
+                    seed=0,
+                )
+                with open(done_marker, "w") as m:
+                    m.write("ok\n")
     from rxtpu.data.records import build_plate_groups
 
     df, dfc = read_metadata_csvs(os.path.join(root, "metadata"), "train")
