@@ -750,20 +750,25 @@ def write_report(seeds, args, lr_box, t0):
             f"{aag.mean():+.3f}, 95% CI half-width {aa_half:.3f}, "
             f"per-pair sigma {aag.std(ddof=1):.3f}: the torch-vs-torch "
             "comparison is as wide as the cross-framework ones.")
+    sig_obs = max(
+        float(np.std([data[a][s]["best_val"] - tor[s]["best_val"]
+                      for s in seeds], ddof=1)) for a in rx_arms)
     lines += [
         "",
         f"Power: with {n_val} val wells, the paired gap carries a "
         f"binomial measurement floor of sigma >= {sig_meas:.3f} PER SEED "
         f"even for arms with identical outcome distributions, so the "
         f"minimum achievable 95% half-width at n={n} is {floor_half:.3f} "
-        "— a fixed 0.05 half-width (or CI containment in [-0.05, 0.05]) "
-        "is unattainable under this protocol at any feasible seed count "
-        f"(it needs n >= "
-        f"{int(np.ceil((2.0 * sig_meas / 0.05) ** 2))} even at the "
-        "floor). The criteria therefore gate the CI location (contains "
-        "0) and the point estimate (|gap| <= 0.05 — round-4's -0.074 "
-        "lean fails this) and report the half-width against the floor."
-        + aa_line,
+        "> 0.05 — CI containment in [-0.05, 0.05] is not reachable at "
+        f"this n for ANY pair of stochastic arms. At the floor it would "
+        f"take n >= {int(np.ceil((2.0 * sig_meas / 0.05) ** 2))} seeds; "
+        f"at the worst observed arm sigma ({sig_obs:.3f}, which also "
+        "carries SGD trajectory chaos on top of the measurement floor) "
+        f"it would take n >= "
+        f"{int(np.ceil((2.0 * sig_obs / 0.05) ** 2))}. The criteria "
+        "therefore gate the CI location (contains 0) and the point "
+        "estimate (|gap| <= 0.05 — round-4's -0.074 lean fails this) "
+        "and report the half-width against the floor." + aa_line,
     ]
     # leak pipeline agreement + truth per arm
     truth_rows = []
